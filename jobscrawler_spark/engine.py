@@ -1,0 +1,286 @@
+"""The crawl engine: batched fetch rounds over snapshot tables.
+
+Round structure (SURVEY.md §3.1 re-expressed as a Spark dataflow):
+
+    frontier ── eligible(not_before_round <= r)
+             ── politeness budget window (per-host top-k, W4)
+             ── salted repartition (skew kill)
+             ── mapInPandas fetch (the only non-SQL stage)
+             ├─→ images table   (status==200 rows, input_hint shape + lineage)
+             ├─→ seen-set add   (ALL fetched URLs — 403s are not refetched)
+             ├─→ outlinks: canonicalize → robots gate → dedupe → anti-join
+             │   seen ∪ frontier → new frontier rows (depth+1, round r+1)
+             └─→ per-partition metrics row(s)
+
+Dedupe placement: the seen-set anti-join runs at INSERT time (bootstrap and
+outlink ingestion), not per round — the frontier is unique by URL, so a URL
+is checked against the seen set exactly once, mirroring the reference's
+probe-before-fetch placement (reference: src/crawlers/async_bs4.py:154-166)
+at 1/rounds the cost.
+
+Determinism contract: fetch order within a round is the data-defined key
+``(priority, url)`` per host under budgets, ``(round, priority, url)``
+globally — never task completion order. The single-threaded oracle
+(jobscrawler_spark.oracle.simulator) implements the same contract; the
+equivalence tests require exact match of both the ordered fetch list and
+the final URL-seen set.
+
+Checkpointing: every table is a SnapshotTable; a round commits all writes,
+then atomically updates ``checkpoint.json`` with the snapshot ids. Resume
+rolls every table back to the checkpointed ids and continues — a crash
+mid-round is invisible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.urls import shard_col, with_canonical
+from .operators.fetch import run_fetch
+from .operators.frontier import (
+    apply_crawl_delay,
+    politeness_select,
+    robots_gate,
+    salted_repartition,
+)
+from .operators.seen_set import SeenSet
+from .plans.tables import SnapshotTable
+from .schemas import FRONTIER, IMAGES, POLITENESS, ROBOTS, ROUND_METRICS
+
+IMAGES_LANDED_COLS = [f.name for f in IMAGES.fields] + [
+    "url",
+    "url_hash",
+    "host",
+    "status",
+    "round",
+    "depth",
+    "priority",
+    "partition_id",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        n_shards: int = 16,
+        default_budget: int = 8,
+        max_depth: int = 2,
+        fetch_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.base = base_path
+        self.n_shards = n_shards
+        self.default_budget = default_budget
+        self.max_depth = max_depth
+        self.fetch_partitions = fetch_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        self.frontier = SnapshotTable(f"{base_path}/frontier", FRONTIER)
+        self.images = SnapshotTable(f"{base_path}/images")
+        self.metrics = SnapshotTable(f"{base_path}/metrics", ROUND_METRICS)
+        self.seen = SeenSet(base_path, n_shards)
+        self.next_round = 0
+
+    # ------------------------------------------------------------------ dims
+    def _dim_path(self, name: str) -> str:
+        return os.path.join(self.base, f"dim_{name}")
+
+    def _write_dim(self, name: str, pdf: pd.DataFrame, schema) -> None:
+        self.spark.createDataFrame(pdf, schema).coalesce(1).write.mode("overwrite").parquet(
+            self._dim_path(name)
+        )
+
+    def _politeness(self) -> DataFrame:
+        return self.spark.read.parquet(self._dim_path("politeness"))
+
+    def _robots(self) -> DataFrame:
+        return self.spark.read.parquet(self._dim_path("robots"))
+
+    # ------------------------------------------------------------- bootstrap
+    def bootstrap(
+        self,
+        seeds: pd.DataFrame | DataFrame,
+        politeness: pd.DataFrame,
+        robots: pd.DataFrame,
+    ) -> None:
+        self._write_dim("politeness", politeness, POLITENESS)
+        self._write_dim("robots", robots, ROBOTS)
+        if isinstance(seeds, pd.DataFrame):
+            seeds = self.spark.createDataFrame(seeds[["url", "priority", "depth"]])
+        canon = with_canonical(seeds.select("url", "priority", "depth"), n_shards=self.n_shards)
+        gated = robots_gate(canon, self._robots())
+        # canonicalization collapses dirty variants: keep min(priority)/min(depth)
+        deduped = gated.groupBy("url", "url_hash", "host", "shard").agg(
+            F.min("priority").alias("priority"), F.min("depth").alias("depth")
+        )
+        rows = (
+            deduped.withColumn("not_before_round", F.lit(0))
+            .withColumn("attempts", F.lit(0))
+            .select([f.name for f in FRONTIER.fields])
+        )
+        self.frontier.overwrite(rows, meta={"stage": "bootstrap"})
+        self.next_round = 0
+        self._commit_checkpoint()
+
+    # ----------------------------------------------------------- round loop
+    def run_round(self) -> dict:
+        r = self.next_round
+        t0 = time.monotonic()
+        frontier_snap = self.frontier.current_snapshot
+        frontier_df = self.frontier.read(self.spark)
+
+        eligible = frontier_df.filter(F.col("not_before_round") <= r)
+        selected = politeness_select(eligible, self._politeness(), self.default_budget).persist()
+        n_selected = selected.count()
+
+        if n_selected == 0:
+            # nothing eligible this round (all delayed); advance the clock
+            selected.unpersist()
+            self.next_round = r + 1
+            self._commit_checkpoint()
+            return {"round": r, "selected": 0, "fetched": 0, "ok": 0, "new_urls": 0}
+
+        fetched = run_fetch(
+            salted_repartition(selected, self.fetch_partitions), r, self.max_depth
+        ).persist()
+
+        # 1. land images (status==200 only), input_hint shape + lineage
+        landed = fetched.filter(F.col("status") == 200).select(IMAGES_LANDED_COLS)
+        images_snap = self.images.append(landed, meta={"round": r})
+
+        # 2. all fetched URLs become seen
+        self.seen.add(
+            self.spark,
+            fetched.select(
+                "url", "url_hash", shard_col(F.col("url_hash"), self.n_shards).alias("shard")
+            ),
+            r,
+        )
+
+        # 3. discovered outlinks -> new frontier rows
+        links = (
+            fetched.filter(F.col("status") == 200)
+            .select(F.explode("outlinks").alias("url"), (F.col("depth") + 1).alias("depth"))
+        )
+        links = with_canonical(links, n_shards=self.n_shards)
+        links = robots_gate(links, self._robots())
+        links = links.groupBy("url", "url_hash", "host", "shard").agg(F.min("depth").alias("depth"))
+        links = links.withColumn(
+            "priority", F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double") / 1_000_000.0
+        )
+        links = self.seen.filter_unseen(self.spark, links)
+
+        remaining = frontier_df.join(selected.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+        links = links.join(remaining.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+        new_rows = (
+            links.withColumn("not_before_round", F.lit(r + 1))
+            .withColumn("attempts", F.lit(0))
+            .select([f.name for f in FRONTIER.fields])
+        )
+
+        # 4. crawl-delay pushback for hosts fetched this round
+        delayed_hosts = (
+            selected.select("host")
+            .distinct()
+            .join(self._politeness().filter(F.col("crawl_delay_rounds") > 0), "host")
+            .select("host", "crawl_delay_rounds")
+        )
+        remaining = apply_crawl_delay(remaining, delayed_hosts, r)
+
+        next_frontier = remaining.unionByName(new_rows)
+        self.frontier.overwrite(next_frontier, meta={"round": r})
+
+        # 5. per-partition lineage + metrics
+        part_metrics = (
+            fetched.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("urls_fetched"),
+                F.sum((F.col("status") == 200).cast("long")).alias("urls_ok"),
+                F.sum(F.size("outlinks")).alias("new_urls"),
+                F.sum((F.col("status") == 200).cast("long")).alias("rows_landed"),
+            )
+            .withColumn("round", F.lit(r))
+            .withColumn("urls_selected", F.lit(n_selected))
+            .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
+            .withColumn("input_snapshot", F.lit(f"frontier@{frontier_snap}"))
+            .select([f.name for f in ROUND_METRICS.fields])
+        )
+        self.metrics.append(part_metrics, meta={"round": r})
+
+        stats = {
+            "round": r,
+            "selected": n_selected,
+            "fetched": n_selected,
+            "ok": landed.count(),
+            "new_urls": new_rows.count(),
+            "images_snapshot": images_snap,
+            "wall_s": time.monotonic() - t0,
+        }
+        fetched.unpersist()
+        selected.unpersist()
+        self.next_round = r + 1
+        self._commit_checkpoint()
+        return stats
+
+    def run(self, n_rounds: int) -> list[dict]:
+        out = []
+        for _ in range(n_rounds):
+            if self.frontier_size() == 0:
+                break
+            out.append(self.run_round())
+        return out
+
+    def frontier_size(self) -> int:
+        if self.frontier.current_snapshot is None:
+            return 0
+        return self.frontier.read(self.spark).count()
+
+    # ---------------------------------------------------------- checkpoints
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.base, "checkpoint.json")
+
+    def _commit_checkpoint(self) -> None:
+        state = {
+            "next_round": self.next_round,
+            "frontier": self.frontier.current_snapshot,
+            "images": self.images.current_snapshot,
+            "metrics": self.metrics.current_snapshot,
+            "seen": self.seen.seen.current_snapshot,
+            "bloom": self.seen.bloom.current_snapshot,
+        }
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ckpt_path())
+
+    @classmethod
+    def resume(cls, spark: SparkSession, base_path: str, **kwargs) -> "CrawlEngine":
+        """Reload from checkpoint.json, rolling back any post-checkpoint
+        table writes (a crash mid-round leaves orphan snapshots)."""
+        eng = cls(spark, base_path, **kwargs)
+        with open(eng._ckpt_path()) as f:
+            state = json.load(f)
+        eng.frontier.rollback_to(state["frontier"])
+        eng.images.rollback_to(state["images"])
+        eng.metrics.rollback_to(state["metrics"])
+        eng.seen.seen.rollback_to(state["seen"])
+        eng.seen.bloom.rollback_to(state["bloom"])
+        eng.next_round = state["next_round"]
+        return eng
+
+    # ------------------------------------------------------------- readers
+    def images_df(self) -> DataFrame:
+        return self.images.read(self.spark)
+
+    def fetch_log(self) -> DataFrame:
+        """Landed fetches in the deterministic order contract
+        (round, priority, url)."""
+        return self.images_df().orderBy("round", "priority", "url")

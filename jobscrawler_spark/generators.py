@@ -1,0 +1,313 @@
+"""Deterministic fixture generators (seed=42 unless stated).
+
+Everything the engine consumes in tests and benchmarks is synthesized here:
+seed URLs (Zipf-skewed hosts, dirty spellings), politeness budgets, robots
+rules, site configs, canned fetch payloads, the world-locations dim, and
+the images table. No external data.
+
+Generators return plain pandas DataFrames / lists; callers lift them into
+Spark with ``spark.createDataFrame``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from .fetch_model import fetch_payload, url_digest
+from .functions.urls import canonicalize_py
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def gen_hosts(n_hosts: int = 64) -> list[str]:
+    return [f"h{i:02d}.example.com" for i in range(n_hosts)]
+
+
+def gen_seeds(n: int = 10_000, n_hosts: int = 64, seed: int = 42, dirty: bool = True) -> pd.DataFrame:
+    """Seed-URL list with Zipf-skewed host distribution (FIXTURES.md §2).
+
+    Host 0 is deliberately hot (Zipf a=1.3) to exercise salting. ``dirty``
+    mixes in mixed-case hosts, fragments, unsorted query params and default
+    ports so canonicalization actually collapses variants.
+    """
+    rng = _rng(seed)
+    hosts = gen_hosts(n_hosts)
+    host_idx = np.minimum(rng.zipf(1.3, size=n) - 1, n_hosts - 1)
+    rows = []
+    for i in range(n):
+        host = hosts[int(host_idx[i])]
+        path_id = int(rng.integers(0, max(n // 2, 4)))
+        url = f"http://{host}/p/{path_id}"
+        if dirty:
+            style = int(rng.integers(0, 6))
+            if style == 1:
+                url = f"http://{host.upper()}/p/{path_id}"
+            elif style == 2:
+                url = f"http://{host}/p/{path_id}#frag{i}"
+            elif style == 3:
+                url = f"http://{host}/p/{path_id}?b=2&a=1"
+            elif style == 4:
+                url = f"http://{host}:80/p/{path_id}"
+            elif style == 5:
+                url = f"http://{host}/p/{path_id}?a=1&b=2"
+        rows.append(
+            {
+                "url": url,
+                "host": host,
+                "priority": float(rng.uniform(0, 1)),
+                "depth": 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_politeness(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
+    """Per-host budgets; host 1 gets budget 0 (must never be fetched)."""
+    rng = _rng(seed + 1)
+    hosts = gen_hosts(n_hosts)
+    rows = []
+    for i, host in enumerate(hosts):
+        budget = 0 if i == 1 else int(2 ** rng.integers(1, 6))  # 2..32
+        rows.append(
+            {
+                "host": host,
+                "max_fetches_per_round": budget,
+                "crawl_delay_rounds": int(rng.integers(0, 3)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_robots(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
+    """Robots rules with conflicting prefixes (longest match wins)."""
+    rng = _rng(seed + 2)
+    hosts = gen_hosts(n_hosts)
+    rows = []
+    for host in hosts:
+        rows.append({"host": host, "path_prefix": "/", "allow": True})
+        if rng.random() < 0.5:
+            rows.append({"host": host, "path_prefix": "/private", "allow": False})
+            rows.append({"host": host, "path_prefix": "/private/ok", "allow": True})
+        if rng.random() < 0.3:
+            # disallow a slice of the /p/ space
+            rows.append({"host": host, "path_prefix": "/p/1", "allow": False})
+    return pd.DataFrame(rows)
+
+
+def gen_images(n: int = 512, seed: int = 42) -> pd.DataFrame:
+    """Images table in the driver-mandated shape (FIXTURES.md §1)."""
+    rows = []
+    for i in range(n):
+        url = f"http://img{seed}.example.com/i/{i}"
+        data, w, h, fmt, caption, ph = fetch_payload(url)
+        rows.append(
+            {
+                "image_id": canonicalize_py(url),
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption,
+                "phash": ph,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped fixtures: site configs, canned payloads, world locations
+# ---------------------------------------------------------------------------
+
+
+def gen_site_configs() -> pd.DataFrame:
+    """9 sites: 3 bs4 (main/container), 3 api (dict/list), 3 rss —
+    mirroring the reference's test config files (bs4_test.json etc.)."""
+    rows = []
+    idx = 0
+    for strategy in ("main", "container", "main"):
+        rows.append(
+            {
+                "name": f"https://bs4-{idx}.example.com",
+                "source_kind": "bs4",
+                "strategy": strategy,
+                "url": f"https://bs4-{idx}.example.com/jobs?page=",
+                "pages_to_crawl": 2,
+                "start_point": 1,
+                "follow_link": "no",
+                "inner_link_tag": "div.desc",
+                "config_idx": idx,
+            }
+        )
+        idx += 1
+    for strategy in ("dict", "list", "dict"):
+        rows.append(
+            {
+                "name": f"https://api-{idx}.example.com",
+                "source_kind": "api",
+                "strategy": strategy,
+                "url": f"https://api-{idx}.example.com/v1/jobs",
+                "pages_to_crawl": 1,
+                "start_point": 1,
+                "follow_link": "no",
+                "inner_link_tag": "",
+                "config_idx": idx,
+            }
+        )
+        idx += 1
+    for _ in range(3):
+        rows.append(
+            {
+                "name": f"https://rss-{idx}.example.com",
+                "source_kind": "rss",
+                "strategy": "rss",
+                "url": f"https://rss-{idx}.example.com/feed.xml",
+                "pages_to_crawl": 1,
+                "start_point": 1,
+                "follow_link": "no",
+                "inner_link_tag": "",
+                "config_idx": idx,
+            }
+        )
+        idx += 1
+    return pd.DataFrame(rows)
+
+
+def _html_job(i: int, site: str, with_loc: bool = True, rel: bool = True) -> str:
+    href = f"/job/{i}" if rel else f"{site}/job/{i}"
+    loc = f'<span class="loc">City{i % 7} Country{i % 5}</span>' if with_loc else ""
+    return (
+        f'<div class="job"><h2 class="title">Engineer {i} at Site</h2>'
+        f'<a class="lnk" href="{href}">apply</a>{loc}'
+        f'<p class="desc">Description {i} <b>bold</b> text, [brackets] \'quotes\'</p></div>'
+    )
+
+
+def gen_payload_bodies(configs: pd.DataFrame, jobs_per_page: int = 5) -> pd.DataFrame:
+    """Canned fetch bodies keyed by URL (FIXTURES.md §4).
+
+    Edge cases baked in: container unequal list lengths (zip truncation,
+    reference src/crawlers/async_bs4.py:240), missing optional fields ->
+    "NaN", API falsy location -> default, relative hrefs.
+    """
+    rows = []
+    for _, cfg in configs.iterrows():
+        if cfg.source_kind == "bs4":
+            for page in range(int(cfg.start_point), int(cfg.pages_to_crawl) + 1):
+                url = f"{cfg.url}{page}"
+                n = jobs_per_page if cfg.strategy == "main" else jobs_per_page + 1
+                jobs = [
+                    _html_job(page * 100 + i, cfg["name"], with_loc=(i % 3 != 2))
+                    for i in range(n)
+                ]
+                if cfg.strategy == "container":
+                    # container page: parallel element lists, locations list
+                    # SHORTER than titles/links -> zip truncation
+                    titles = "".join(
+                        f'<h2 class="title">CJob {page * 100 + i}</h2>' for i in range(n)
+                    )
+                    links = "".join(
+                        f'<a class="lnk" href="/c/{page * 100 + i}">x</a>' for i in range(n)
+                    )
+                    locs = "".join(f'<span class="loc">Loc{i}</span>' for i in range(n - 2))
+                    descs = "".join(f'<p class="desc">CDesc {i}</p>' for i in range(n))
+                    body = f'<div class="wrap">{titles}{links}{locs}{descs}</div>'
+                else:
+                    body = "<html><body>" + "".join(jobs) + "</body></html>"
+                rows.append({"url": url, "status": 200, "body": body, "content_kind": "html"})
+        elif cfg.source_kind == "api":
+            jobs = []
+            for i in range(jobs_per_page):
+                job = {
+                    "titleF": f"API Role {i}",
+                    "linkF": f"{cfg['name']}/api-job/{i}",
+                    "descF": f"api description {i}",
+                    "locF": "" if i % 3 == 1 else f"Place{i}",  # falsy -> default
+                }
+                if i % 4 == 3:
+                    job.pop("descF")  # missing -> "NaN"
+                jobs.append(job)
+            payload = {"data": jobs} if cfg.strategy == "dict" else jobs
+            rows.append(
+                {"url": cfg.url, "status": 200, "body": json.dumps(payload), "content_kind": "json"}
+            )
+        else:  # rss
+            items = "".join(
+                f"<item><title>RSS Job {i}</title><link>{cfg['name']}/rss/{i}</link>"
+                f"<description>rss desc {i}</description>"
+                + (f"<location>RCity{i}</location>" if i % 2 == 0 else "")
+                + "</item>"
+                for i in range(jobs_per_page)
+            )
+            body = f'<?xml version="1.0"?><rss><channel>{items}</channel></rss>'
+            rows.append({"url": cfg.url, "status": 200, "body": body, "content_kind": "rss"})
+    # a couple of non-200s to exercise the status filter
+    rows.append({"url": "https://bs4-0.example.com/jobs?page=99", "status": 403, "body": "", "content_kind": "html"})
+    rows.append({"url": "https://api-3.example.com/v1/down", "status": 500, "body": "", "content_kind": "json"})
+    return pd.DataFrame(rows)
+
+
+def gen_world_locations() -> pd.DataFrame:
+    """Flattened location dim (FIXTURES.md §6): continent/zone/country/alias
+    precedence, including bigram cases (reference: src/crawler.py:45-107)."""
+    rows = []
+    continents = {
+        "EUROPE": {
+            "Zones": ["EMEA", "NORDICS"],
+            "Countries": {
+                "GERMANY": ["BERLIN", "MUNICH"],
+                "UNITED KINGDOM": ["LONDON", "UK"],
+                "SPAIN": ["MADRID", "BARCELONA"],
+            },
+        },
+        "AMERICA": {
+            "Zones": ["LATAM", "NORTH AMERICA"],
+            "Countries": {
+                "UNITED STATES": ["NEW YORK", "SAN FRANCISCO", "USA", "AUSTIN"],
+                "CANADA": ["TORONTO", "SAINT JOHN'S"],
+                "MEXICO": ["MEXICO CITY", "GUADALAJARA"],
+            },
+        },
+        "ASIA": {
+            "Zones": ["APAC"],
+            "Countries": {"JAPAN": ["TOKYO"], "INDIA": ["BANGALORE", "NEW DELHI"], "SINGAPORE": []},
+        },
+    }
+    for continent, spec in continents.items():
+        rows.append({"alias": continent, "tag": continent, "kind": "continent"})
+        for zone in spec["Zones"]:
+            rows.append({"alias": zone, "tag": zone, "kind": "zone"})
+        for country, aliases in spec["Countries"].items():
+            rows.append({"alias": country, "tag": country, "kind": "country"})
+            for a in aliases:
+                rows.append({"alias": a, "tag": country, "kind": "alias"})
+    rows.append({"alias": "WORLDWIDE", "tag": "WORLDWIDE", "kind": "zone"})
+    return pd.DataFrame(rows)
+
+
+def world_locations_nested() -> dict:
+    """The same dim in the reference's nested-JSON shape, for the oracle
+    (continent -> {Zones: [...], Countries: [{NAME: [aliases]}]})."""
+    flat = gen_world_locations()
+    nested: dict = {}
+    cur_continent = None
+    for _, r in flat.iterrows():
+        if r["kind"] == "continent":
+            cur_continent = r["alias"]
+            nested[cur_continent] = {"Zones": [], "Countries": []}
+        elif r["kind"] == "zone":
+            if cur_continent is None:
+                nested.setdefault("WORLD", {"Zones": [], "Countries": []})["Zones"].append(r["alias"])
+            else:
+                nested[cur_continent]["Zones"].append(r["alias"])
+        elif r["kind"] == "country":
+            nested[cur_continent]["Countries"].append({r["alias"]: []})
+        else:  # alias
+            for c in nested[cur_continent]["Countries"]:
+                if r["tag"] in c:
+                    c[r["tag"]].append(r["alias"])
+    return nested

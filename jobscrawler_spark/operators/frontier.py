@@ -1,0 +1,122 @@
+"""Frontier scheduling: robots gate, politeness budgets, priority selection.
+
+Reference analogues: the per-site page loop bounded by config
+(``pages_to_crawl``, reference: src/crawlers/async_bs4.py:349) and the
+config-file-order execution contract (src/crawler.py:322-349). The
+reference has NO per-host politeness or robots handling (its only rate
+limiting is a random sleep before Discord posts, src/logs_in_discord.py:25-27);
+both are north_rule additions, built as declarative DataFrame stages:
+
+- **robots gate**: rules pre-grouped per host into an array column and
+  broadcast; longest-prefix match is ``array_max`` over the applicable
+  rules — zero shuffles, whole-stage codegen.
+- **politeness budget**: two-phase per-host top-k. Phase 1 caps each
+  (host, salt) bucket at the budget (kills the hot-host straggler before
+  the wide window), phase 2 applies the exact per-host
+  ``row_number() <= budget`` on survivors. Correct because the per-host
+  top-B rows under (priority, url) ordering are contained in the union of
+  per-salt top-B rows.
+- **deterministic order**: the fetch-order contract is the data-defined
+  sort key ``(round, priority, url)`` — never task completion order.
+  URLs are ASCII, so Spark and the Python oracle sort identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SALT_BUCKETS = 16
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose path matches a disallow rule (longest prefix wins).
+
+    URLs with no matching rule are allowed. ``robots`` is the small dim
+    (host, path_prefix, allow) — broadcast.
+    """
+    rules_by_host = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path_prefix").alias("len"),
+                F.col("path_prefix").alias("prefix"),
+                F.col("allow").alias("allow"),
+            )
+        ).alias("rules")
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    with_rules = candidates.join(F.broadcast(rules_by_host), "host", "left")
+    applicable = F.filter(
+        F.coalesce(F.col("rules"), F.array()),
+        lambda r: F.startswith(path, r["prefix"]),
+    )
+    best = F.array_max(applicable)  # struct order: longest prefix first
+    return (
+        with_rules.withColumn("__allow", F.coalesce(best["allow"], F.lit(True)))
+        .filter(F.col("__allow"))
+        .drop("rules", "__allow")
+    )
+
+
+def politeness_select(
+    candidates: DataFrame,
+    politeness: DataFrame,
+    default_budget: int = 8,
+) -> DataFrame:
+    """Per-host top-budget selection ordered by (priority, url).
+
+    ``politeness`` dim: (host, max_fetches_per_round, crawl_delay_rounds).
+    Hosts missing from the dim get ``default_budget``. Budget 0 hosts are
+    never selected. Applied BEFORE salting so salts can't violate budgets.
+    """
+    cand = candidates.join(
+        F.broadcast(politeness.select("host", "max_fetches_per_round")), "host", "left"
+    ).withColumn("__budget", F.coalesce(F.col("max_fetches_per_round"), F.lit(default_budget)))
+
+    # phase 1: cheap local cap per (host, salt) — bounds the skewed host's
+    # contribution to the exact window below
+    salt = F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
+    w1 = Window.partitionBy("host", salt).orderBy("priority", "url")
+    pruned = cand.withColumn("__rn1", F.row_number().over(w1)).filter(
+        F.col("__rn1") <= F.col("__budget")
+    )
+
+    # phase 2: exact per-host budget
+    w2 = Window.partitionBy("host").orderBy("priority", "url")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter((F.col("__rn") <= F.col("__budget")) & (F.col("__budget") > 0))
+        .drop("__rn1", "__rn", "__budget", "max_fetches_per_round")
+    )
+
+
+def salted_repartition(selected: DataFrame, n_partitions: int) -> DataFrame:
+    """Spread the selected round across workers by (host, salt) so one hot
+    host cannot serialize the fetch stage. Budgets were already enforced."""
+    return selected.repartition(
+        n_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
+    )
+
+
+def apply_crawl_delay(
+    remaining: DataFrame,
+    fetched_hosts: DataFrame,
+    round_no: int,
+) -> DataFrame:
+    """Push back remaining frontier rows of hosts fetched this round.
+
+    ``fetched_hosts``: (host, crawl_delay_rounds>0). A delay of d means the
+    host's next eligible round is round_no + 1 + d.
+    """
+    bumped = F.lit(round_no + 1) + F.col("crawl_delay_rounds")
+    return (
+        remaining.join(F.broadcast(fetched_hosts), "host", "left")
+        .withColumn(
+            "not_before_round",
+            F.when(
+                F.col("crawl_delay_rounds").isNotNull(),
+                F.greatest(F.col("not_before_round"), bumped),
+            ).otherwise(F.col("not_before_round")),
+        )
+        .drop("crawl_delay_rounds")
+    )

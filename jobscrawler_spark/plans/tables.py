@@ -1,0 +1,137 @@
+"""Snapshot-logged parquet tables (Iceberg semantics without the jar).
+
+No Iceberg runtime is available in this container, so the engine carries a
+minimal table layer with the same contract the north rule needs:
+
+- **atomic append / overwrite**: data files are written to a fresh
+  ``snap-NNNNN`` directory first; the manifest (``_snapshots.json``) is then
+  swapped atomically (tmp + rename). Readers only ever see committed
+  snapshots.
+- **time travel**: ``read(spark, snapshot_id=k)`` reconstructs the table as
+  of snapshot k — the checkpoint/resume path replays from recorded ids.
+- **lineage**: each snapshot records its mode, row estimate and caller
+  metadata (round number, shard, etc.).
+
+Swappable for real Iceberg (``MERGE INTO`` / snapshot ids) where the jar
+exists; the engine only touches this narrow surface.
+
+Reference analogue: the Postgres tables + ON CONFLICT upserts
+(reference: src/crawler.py:172-244, src/utils/handy.py:11-22) — here the
+"upsert" is an anti-join + append, which this layer makes atomic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST = "_snapshots.json"
+
+
+class SnapshotTable:
+    def __init__(self, path: str, schema: StructType | None = None):
+        self.path = path
+        self.schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load(self) -> list[dict]:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)["snapshots"]
+
+    def _commit(self, snapshots: list[dict]) -> None:
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": snapshots}, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    # -- public api --------------------------------------------------------
+    @property
+    def current_snapshot(self) -> int | None:
+        snaps = self._load()
+        return snaps[-1]["id"] if snaps else None
+
+    def snapshots(self) -> list[dict]:
+        return self._load()
+
+    def _write(self, df: DataFrame, mode: str, meta: dict | None) -> int:
+        snaps = self._load()
+        sid = (snaps[-1]["id"] + 1) if snaps else 0
+        rel = f"snap-{sid:05d}"
+        out = os.path.join(self.path, rel)
+        df.write.mode("overwrite").parquet(out)
+        snaps.append({"id": sid, "dir": rel, "mode": mode, "meta": meta or {}})
+        self._commit(snaps)
+        return sid
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._write(df, "append", meta)
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._write(df, "overwrite", meta)
+
+    def _dirs_at(self, snapshot_id: int | None) -> list[str]:
+        snaps = self._load()
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        dirs: list[str] = []
+        for s in snaps:
+            if s["mode"] == "overwrite":
+                dirs = []
+            dirs.append(os.path.join(self.path, s["dir"]))
+        return dirs
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        dirs = self._dirs_at(snapshot_id)
+        if not dirs:
+            if self.schema is None:
+                raise ValueError(f"empty table {self.path} with no schema")
+            return spark.createDataFrame([], self.schema)
+        df = spark.read.parquet(*dirs)
+        if self.schema is not None:
+            # stable column order regardless of file layout
+            df = df.select(*[f.name for f in self.schema.fields])
+        return df
+
+    def rollback_to(self, snapshot_id: int | None) -> None:
+        """Drop snapshots newer than ``snapshot_id`` (None = drop all).
+
+        Resume-from-checkpoint calls this to discard writes from a round
+        that crashed after some table writes but before the checkpoint
+        commit — the atomicity story for the round loop.
+        """
+        snaps = self._load()
+        keep = [s for s in snaps if snapshot_id is not None and s["id"] <= snapshot_id]
+        for s in snaps:
+            if snapshot_id is None or s["id"] > snapshot_id:
+                shutil.rmtree(os.path.join(self.path, s["dir"]), ignore_errors=True)
+        self._commit(keep)
+
+    def expire_before(self, snapshot_id: int) -> None:
+        """Drop snapshots (and data dirs) no longer reachable — keeps the
+        frontier's overwrite-per-round history from growing unboundedly."""
+        snaps = self._load()
+        keep: list[dict] = []
+        # find last overwrite at-or-before snapshot_id: everything before it
+        # is unreachable for reads >= snapshot_id
+        cut = 0
+        for i, s in enumerate(snaps):
+            if s["mode"] == "overwrite" and s["id"] <= snapshot_id:
+                cut = i
+        for i, s in enumerate(snaps):
+            if i < cut:
+                shutil.rmtree(os.path.join(self.path, s["dir"]), ignore_errors=True)
+            else:
+                keep.append(s)
+        self._commit(keep)

@@ -1,0 +1,179 @@
+"""Fixed StructTypes for every engine table.
+
+The reference hard-codes its six job columns in four places
+(reference: src/crawler.py:335-345, src/crawlers/async_bs4.py:122-129);
+here every schema is declared exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# Primary payload table (BASELINE.json input_hint shape): fetch rounds land
+# image+caption rows.  `image_id` plays the role of the reference's UNIQUE
+# `link` column (reference: src/crawler.py:204).
+# ---------------------------------------------------------------------------
+IMAGES = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+# Fetch output = IMAGES + crawl lineage columns.
+FETCH_RESULT = StructType(
+    list(IMAGES.fields)
+    + [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), True),
+        StructField("status", IntegerType(), True),
+        StructField("round", IntegerType(), True),
+        StructField("depth", IntegerType(), True),
+        StructField("priority", DoubleType(), True),
+        StructField("partition_id", IntegerType(), True),
+        StructField("outlinks", ArrayType(StringType()), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Frontier / scheduler state (FIXTURES.md §10)
+# ---------------------------------------------------------------------------
+FRONTIER = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), True),
+        StructField("shard", IntegerType(), False),
+        StructField("priority", DoubleType(), True),
+        StructField("depth", IntegerType(), True),
+        StructField("not_before_round", IntegerType(), True),
+        StructField("attempts", IntegerType(), True),
+    ]
+)
+
+SEEN_SET = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("url", StringType(), True),
+        StructField("shard", IntegerType(), False),
+        StructField("round_added", IntegerType(), True),
+    ]
+)
+
+SEEN_BLOOM = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("bits", BinaryType(), True),
+        StructField("n_items", LongType(), True),
+        StructField("n_bits", IntegerType(), True),
+        StructField("n_hashes", IntegerType(), True),
+    ]
+)
+
+ROUND_METRICS = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("partition_id", IntegerType(), True),
+        StructField("urls_selected", LongType(), True),
+        StructField("urls_fetched", LongType(), True),
+        StructField("urls_ok", LongType(), True),
+        StructField("new_urls", LongType(), True),
+        StructField("rows_landed", LongType(), True),
+        StructField("wall_ms", LongType(), True),
+        StructField("input_snapshot", StringType(), True),
+    ]
+)
+
+POLITENESS = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("max_fetches_per_round", IntegerType(), True),
+        StructField("crawl_delay_rounds", IntegerType(), True),
+    ]
+)
+
+ROBOTS = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("path_prefix", StringType(), True),
+        StructField("allow", BooleanType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# The reference's job-record shape (reference: src/crawler.py:200-215 insert
+# column list; pubdate/timestamp stamped at extract, location_tags from the
+# enrichment join).
+# ---------------------------------------------------------------------------
+JOBS = StructType(
+    [
+        StructField("title", StringType(), True),
+        StructField("link", StringType(), False),
+        StructField("description", StringType(), True),
+        StructField("pubdate", DateType(), True),
+        StructField("location", StringType(), True),
+        StructField("timestamp", TimestampType(), True),
+        StructField("location_tags", ArrayType(StringType()), True),
+    ]
+)
+
+# Site-config dimension (reference: src/models.py:57-87 dataclasses).
+SITE_CONFIGS = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("source_kind", StringType(), False),  # bs4 | api | rss
+        StructField("strategy", StringType(), True),  # main|container|dict|list
+        StructField("url", StringType(), False),
+        StructField("pages_to_crawl", IntegerType(), True),
+        StructField("start_point", IntegerType(), True),
+        StructField("follow_link", StringType(), True),
+        StructField("inner_link_tag", StringType(), True),
+        StructField("config_idx", IntegerType(), True),  # config-file order (quirk 7)
+    ]
+)
+
+# Canned fetch bodies for strategy-level unit tests (FIXTURES.md §4).
+PAYLOADS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("status", IntegerType(), True),
+        StructField("body", StringType(), True),
+        StructField("content_kind", StringType(), True),  # html | json | rss
+    ]
+)
+
+WORLD_LOCATIONS = StructType(
+    [
+        StructField("alias", StringType(), False),
+        StructField("tag", StringType(), False),
+        StructField("kind", StringType(), True),  # continent|zone|country|alias
+    ]
+)
+
+EMBED_WATERMARK = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("timestamp", TimestampType(), True),
+        StructField("model", StringType(), True),
+        StructField("test", BooleanType(), True),
+    ]
+)

@@ -1,0 +1,73 @@
+"""Seen-set invariants: bloom has no false negatives (a seen URL is never
+reported unseen), the exact backstop removes bloom false positives, and
+growth past capacity triggers shard rebuild."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from jobscrawler_spark.functions.urls import with_canonical
+from jobscrawler_spark.operators import seen_set as SS
+from jobscrawler_spark.operators.seen_set import SeenSet
+
+
+def _urls(spark, lo, hi, n_shards=8):
+    df = spark.createDataFrame(
+        [(f"http://h{(i % 5):02d}.example.com/p/{i}",) for i in range(lo, hi)], ["url"]
+    )
+    return with_canonical(df, n_shards=n_shards)
+
+
+def test_bloom_primitives_no_false_negatives():
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64).view(np.uint64)
+    bits = SS.bloom_build(hashes, 1 << 16)
+    assert SS.bloom_test(bits, hashes, 1 << 16).all()
+    other = rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64).view(np.uint64)
+    fresh = ~np.isin(other, hashes)
+    fp_rate = SS.bloom_test(bits, other[fresh], 1 << 16).mean()
+    assert fp_rate < 0.05
+
+
+def test_add_then_filter_exact(spark, tmp_path):
+    s = SeenSet(str(tmp_path / "seen"), n_shards=8)
+    seen_urls = _urls(spark, 0, 300)
+    s.add(spark, seen_urls, round_no=0)
+    # candidates: 150 overlapping + 200 fresh
+    cand = _urls(spark, 150, 500)
+    unseen = s.filter_unseen(spark, cand)
+    got = sorted(r["url"] for r in unseen.collect())
+    want = sorted(
+        f"http://h{(i % 5):02d}.example.com/p/{i}" for i in range(300, 500)
+    )
+    assert got == want
+
+
+def test_incremental_adds_and_rebuild(spark, tmp_path):
+    s = SeenSet(str(tmp_path / "seen"), n_shards=4)
+    for rnd, (lo, hi) in enumerate([(0, 200), (200, 500), (500, 2000)]):
+        s.add(spark, _urls(spark, lo, hi, n_shards=4), round_no=rnd)
+    # every added URL must be filtered out (no false negatives end-to-end)
+    unseen = s.filter_unseen(spark, _urls(spark, 0, 2100, n_shards=4))
+    got = {r["url"] for r in unseen.collect()}
+    assert got == {f"http://h{(i % 5):02d}.example.com/p/{i}" for i in range(2000, 2100)}
+    # blooms stayed consistent with the exact set
+    blooms = s.bloom.read(spark).collect()
+    assert sum(b["n_items"] for b in blooms) == 2000
+    assert all(b["n_bits"] > 0 for b in blooms)
+
+
+def test_hash_collision_cannot_evict(spark, tmp_path):
+    """Two different URLs forced onto the same url_hash: adding one must not
+    hide the other (exactness via the (url_hash, url) join)."""
+    s = SeenSet(str(tmp_path / "seen"), n_shards=2)
+    a = spark.createDataFrame([("http://a.example.com/x",)], ["url"])
+    a = with_canonical(a, n_shards=2)
+    s.add(spark, a, round_no=0)
+    h = a.collect()[0]["url_hash"]
+    shard = a.collect()[0]["shard"]
+    forged = spark.createDataFrame(
+        [("http://b.example.com/y", h, "b.example.com", shard)],
+        "url string, url_hash long, host string, shard int",
+    )
+    out = s.filter_unseen(spark, forged).collect()
+    assert len(out) == 1 and out[0]["url"] == "http://b.example.com/y"

@@ -1,0 +1,83 @@
+"""URL canonicalization: Catalyst expression == Python reference;
+xxhash64 Python port == Spark builtin; idempotence property."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jobscrawler_spark.functions.urls import canon_url_col, canonicalize_py, with_canonical
+from jobscrawler_spark.functions.xxhash import spark_xxhash64_str
+
+DIRTY = [
+    "http://H00.Example.COM/p/1",
+    "http://h00.example.com/p/1#frag",
+    "http://h00.example.com/p/1?b=2&a=1",
+    "http://h00.example.com:80/p/1",
+    "https://h00.example.com:443/p/1",
+    "https://h00.example.com:8443/p/1",
+    "http://h00.example.com",
+    "http://h00.example.com/",
+    "http://h00.example.com/p/1?a=1&b=2",
+    "http://h00.example.com/p/1?",
+    "HTTP://h00.example.com/x",
+    "http://h01.example.com/d1/00ff/0",
+]
+
+
+def test_canon_spark_matches_python(spark):
+    df = spark.createDataFrame([(u,) for u in DIRTY], ["url"])
+    got = [r[0] for r in df.select(canon_url_col(F.col("url"))).collect()]
+    want = [canonicalize_py(u) for u in DIRTY]
+    assert got == want
+
+
+def test_canon_collapses_variants():
+    # mixed case / fragment / default port all collapse to the clean spelling
+    base = {canonicalize_py(DIRTY[i]) for i in (0, 1, 3)}
+    assert base == {"http://h00.example.com/p/1"}
+    # unsorted query sorts to the same canonical as the pre-sorted one
+    assert canonicalize_py(DIRTY[2]) == canonicalize_py(DIRTY[8])
+    # https default port stripped, explicit non-default kept
+    assert canonicalize_py(DIRTY[4]) == "https://h00.example.com/p/1"
+    assert canonicalize_py(DIRTY[5]) == "https://h00.example.com:8443/p/1"
+
+
+def test_canon_idempotent():
+    for u in DIRTY:
+        c = canonicalize_py(u)
+        assert canonicalize_py(c) == c
+
+
+def test_xxhash64_matches_spark(spark):
+    strings = [canonicalize_py(u) for u in DIRTY] + ["", "a", "ab" * 40, "日本語テスト"]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in strings:
+        assert got[s] == spark_xxhash64_str(s), s
+
+
+def test_with_canonical_shards(spark):
+    df = with_canonical(spark.createDataFrame([(u,) for u in DIRTY], ["url"]), n_shards=16)
+    rows = df.collect()
+    for r in rows:
+        assert 0 <= r["shard"] < 16
+        assert r["url_hash"] == spark_xxhash64_str(r["url"])
+        assert r["host"] == r["url"].split("://")[1].split("/")[0].split(":")[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sampled_from(["http", "https"]),
+    st.integers(0, 63),
+    st.lists(st.sampled_from(["a=1", "b=2", "c=", "z=9"]), max_size=3),
+    st.booleans(),
+)
+def test_canon_idempotence_property(scheme, host_i, params, frag):
+    url = f"{scheme}://H{host_i:02d}.Example.com/p/{host_i}"
+    if params:
+        url += "?" + "&".join(params)
+    if frag:
+        url += "#x"
+    c = canonicalize_py(url)
+    assert canonicalize_py(c) == c
+    assert c.split("://")[1].split("/")[0].islower() or c.split("://")[1].split("/")[0].isdigit()
