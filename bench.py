@@ -1,0 +1,213 @@
+"""Benchmark harness.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {...urls/sec + frontier ops/sec...},
+   "scaling": {...N vs 4N cores, efficiency...}}
+
+All diagnostics go to stderr. Also (re)writes BENCH/BASELINE.md with the
+two-parallelism scaling evidence (the sandbox stand-in for the north rule's
+N vs 4N executor criterion, per the driver instruction).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for the main run (default 32)
+  BENCH_SCALING        1 (default) = run the crawl at 8 and CPUS cores
+  BENCH_SEEDS / BENCH_HOSTS / BENCH_ROUNDS   crawl sizing
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "200000"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "2048"))
+N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+
+BENCH_QUERIES = [
+    "a1_groupby_agg",
+    "p5_anti_join",
+    "w4_budget_window",
+    "j2_broadcast_dim_join",
+    "j3_bigram_lead",
+    "p7_watermark",
+    "a4_top1_by_sort",
+    "a7_token_frequency",
+    "w_window_time_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_features",
+    "text_lang_id",
+    "text_fingerprint",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _new_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(1)
+    from jobscrawler_spark.session import get_spark
+
+    return get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        n = qs[name](spark, SF_DIR).count()
+        dt = round(time.monotonic() - t0, 3)
+        out[name] = dt
+        log(f"  query {name}: {dt:.2f}s ({n} rows)")
+    return out
+
+
+def run_crawl(spark, cores: int) -> dict:
+    from jobscrawler_spark.engine import CrawlEngine
+    from jobscrawler_spark.generators import gen_politeness, gen_robots, gen_seeds
+
+    log(f"  generating {N_SEEDS} seeds over {N_HOSTS} hosts ...")
+    seeds = gen_seeds(n=N_SEEDS, n_hosts=N_HOSTS, seed=42)
+    pol = gen_politeness(n_hosts=N_HOSTS, seed=42)
+    rob = gen_robots(n_hosts=N_HOSTS, seed=42)
+    base = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+    try:
+        eng = CrawlEngine(
+            spark, base, n_shards=64, default_budget=32, max_depth=1, fetch_partitions=cores * 2
+        )
+        eng.bootstrap(seeds, pol, rob)
+        t0 = time.monotonic()
+        stats = [eng.run_round() for _ in range(N_ROUNDS)]
+        wall = time.monotonic() - t0
+        fetched = sum(s["selected"] for s in stats)
+        frontier_ops = fetched + sum(s["new_urls"] for s in stats)
+        return {
+            "cores": cores,
+            "rounds": N_ROUNDS,
+            "urls_fetched": fetched,
+            "wall_sec": round(wall, 2),
+            "urls_per_sec": round(fetched / wall, 1),
+            "frontier_ops_per_sec": round(frontier_ops / wall, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def write_baseline_md(main_run: dict, small_run: dict | None, queries: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured throughput + scaling evidence",
+        "",
+        f"Input: deterministic synthetic seeds (seed=42), {N_SEEDS} URLs over",
+        f"{N_HOSTS} Zipf-skewed hosts, {N_ROUNDS} fetch rounds, budgets per",
+        "generators.gen_politeness. Same job, same input, two parallelism",
+        "levels on one 32-core machine (driver-sanctioned stand-in for the",
+        "N vs 4N executor criterion; no real cluster in this sandbox).",
+        "",
+        "| run | cores | URLs fetched | wall (s) | URLs/s | frontier ops/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r, tag in ((small_run, "N"), (main_run, "4N")):
+        if r:
+            lines.append(
+                f"| {tag} | {r['cores']} | {r['urls_fetched']} | {r['wall_sec']} "
+                f"| {r['urls_per_sec']} | {r['frontier_ops_per_sec']} |"
+            )
+    if small_run:
+        eff = (main_run["urls_per_sec"] / small_run["urls_per_sec"]) / (
+            main_run["cores"] / small_run["cores"]
+        )
+        lines += [
+            "",
+            f"**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**"
+            f" (target >= 0.8 per BASELINE.json north_rule).",
+            "",
+            "Caveat: local-mode rounds carry fixed per-round scheduler overhead",
+            "(snapshot commits, bloom merge) that does not scale with cores;",
+            "efficiency rises with seeds/round. See BENCH_SEEDS/BENCH_HOSTS.",
+        ]
+    lines += ["", "## Headline query timings (sf0.1, local[%d])" % main_run["cores"], ""]
+    lines.append("| query | sec |")
+    lines.append("|---|---|")
+    for k, v in queries.items():
+        lines.append(f"| {k} | {v} |")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    t_start = time.monotonic()
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    log(f"== queries at {SF_DIR} on local[{CPUS}] ==")
+    spark = _new_session(CPUS)
+    queries = run_queries(spark)
+
+    log(f"== crawl throughput on local[{CPUS}] ==")
+    main_run = run_crawl(spark, CPUS)
+    log(f"  {main_run}")
+
+    small_run = None
+    if DO_SCALING:
+        log("== crawl throughput on local[8] (scaling run) ==")
+        spark = _new_session(8)
+        small_run = run_crawl(spark, 8)
+        log(f"  {small_run}")
+
+    total = round(time.monotonic() - t_start, 2)
+    scaling = None
+    if small_run:
+        scaling = {
+            "cores_n": small_run["cores"],
+            "cores_4n": main_run["cores"],
+            "urls_per_sec_n": small_run["urls_per_sec"],
+            "urls_per_sec_4n": main_run["urls_per_sec"],
+            "frontier_ops_per_sec_n": small_run["frontier_ops_per_sec"],
+            "frontier_ops_per_sec_4n": main_run["frontier_ops_per_sec"],
+            "efficiency": round(
+                (main_run["urls_per_sec"] / small_run["urls_per_sec"])
+                / (main_run["cores"] / small_run["cores"]),
+                3,
+            ),
+        }
+    write_baseline_md(main_run, small_run, queries)
+
+    result = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": main_run,
+        "scaling": scaling,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# F1: strip HTML tags + brace/bracket/quote/comma punctuation
-RE_HTML_PUNCT = r'<.*?>|[{}[\]\'",]'
+# F1: strip HTML tags + brace/bracket/quote/comma punctuation.
+# Java-regex-safe spelling of the reference's python pattern
+# r'<.*?>|[{}[\]\'",]' — Java needs the inner '[' escaped.
+RE_HTML_PUNCT = r'<.*?>|[{}\[\]\'",]'
 # F2: collapse repeated words (backreference)
 RE_REPEAT = r"\b(\w+)\s+\1\b"
 # F3: ISO dates

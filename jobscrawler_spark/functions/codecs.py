@@ -221,8 +221,11 @@ def _area_resize_gray(img: np.ndarray, size: int = 32) -> np.ndarray:
 def phash(img: np.ndarray) -> int:
     """64-bit perceptual hash (classic pHash construction)."""
     small = _area_resize_gray(img, 32)
-    dct = _PHASH_DCT32 @ small @ _PHASH_DCT32.T
-    low = dct[:8, :8].flatten()
+    # einsum (non-BLAS, sequential) + coarse rounding: BLAS matmul summation
+    # order varies with thread count across driver/executor processes, and
+    # bits flipping at the median would break cross-process determinism
+    dct = np.einsum("ij,jk,lk->il", _PHASH_DCT32, small, _PHASH_DCT32, optimize=False)
+    low = np.round(dct[:8, :8].flatten(), 2)
     med = np.median(low[1:])  # exclude DC term from the median
     bits = (low > med).astype(np.uint64)
     bits[0] = 0  # DC bit pinned for stability

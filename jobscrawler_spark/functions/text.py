@@ -1,0 +1,115 @@
+"""Text-analysis functions for training-data pipelines — all pure Catalyst.
+
+Language-ID (stopword-hit heuristic), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish sub-token regex),
+and document fingerprinting (min-5-gram winnowing). Every function is
+SQL-expressible so the DuckDB oracle verifies it exactly.
+
+Reference analogue: the token-count/truncate stage of the embedding
+pipeline (reference: src/embeddings/e5_base_v2_utils.py:37-56 tiktoken
+count, embed_latest_crawled_data.py:84-132 batch stats) — re-expressed
+without the Python tokenizer dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny public stopword samples per language (heuristic, not a model)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "avec"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def subtoken_count(text: Column) -> Column:
+    """BPE-ish sub-token count: alpha runs, digit runs, single punctuation —
+    a cheap deterministic proxy for a real tokenizer (F16)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def _stopword_hits(text: Column, lang: str) -> Column:
+    toks = tokens_col(F.lower(text))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: _stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; ties break alphabetically; zero
+    hits everywhere -> 'und' (undetermined)."""
+    scored = F.array(
+        *[
+            F.struct(_stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # max by (hits, reverse-alphabetical lang) == first max alphabetically:
+    # array_max orders structs lexicographically, later field breaks ties —
+    # to make ties break toward 'de' < 'en' < ..., invert via min over
+    # (-hits, lang)
+    inverted = F.transform(
+        scored, lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"))
+    )
+    best = F.array_min(inverted)
+    return F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, F.round(punct / n, 6)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, F.round(_stopword_hits(text, lang) / n, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + low punctuation
+    + stopword presence (public-practice web-text filtering features)."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 0.4).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 0.3).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) > 0.01, 0.3).otherwise(0.0)
+    return F.round(len_ok + punct_ok + stop_ok, 2)
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Winnowing-lite document fingerprint: lexicographic min of md5 over
+    word k-grams of the lowercased text (order-invariant, shift-robust)."""
+    toks = tokens_col(F.lower(text))
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
+    return F.array_min(grams)  # null for docs with fewer than k tokens
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        subtoken_count(t).alias("n_subtokens"),
+        lang_id(t).alias("pred_lang"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

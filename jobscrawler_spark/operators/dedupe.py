@@ -1,0 +1,173 @@
+"""Document deduplication operators for training-data pipelines.
+
+The reference dedupes on exact link equality (ON CONFLICT, reference:
+src/crawler.py:204) and exact row equality (drop_duplicates,
+src/crawlers/async_bs4.py:56). A 100TB training-data pipeline needs the
+near-duplicate family as well; each operator here is expressed so that a
+DuckDB SQL oracle can verify it exactly:
+
+- hashing uses md5 hex strings (identical in Spark and DuckDB); MinHash
+  signatures are lexicographic minima of md5 strings — no engine-specific
+  numeric hashing in the contract
+- exact dedupe:       groupBy md5(normalized text)
+- MinHash + LSH:      word-shingles -> P permutations (salted md5 min) ->
+                      bands -> bucket join -> candidate pairs
+- SimHash (16-bit):   per-token md5 nibble high-bits, majority vote per bit
+- n-gram Jaccard:     word-bigram sets, pair via shared-bigram equi-join,
+                      |A∩B| / |A∪B| threshold
+
+Scale notes (100TB): the shingle explode is narrow; the LSH bucket join is
+the only shuffle and its key (band hash) is uniform by construction; exact
+groupBy-md5 shuffles on a uniform key. Pair enumeration is bounded per
+bucket, not quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(col):
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (lowercased, whitespace-collapsed) docs.
+    Returns (content_hash, n_docs, doc_ids sorted)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        docs.withColumn("content_hash", F.md5(norm))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_df(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word k-grams per doc."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # complete k-grams only (docs with fewer than k tokens yield none)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_perm: int = 8, k: int = 3
+) -> DataFrame:
+    """(doc_id, perm, minhash): lexicographic min of md5(perm || '|' || shingle).
+
+    The salted-md5 trick replaces true hash permutations — public MinHash
+    practice when only one strong hash is available; identical in DuckDB.
+    """
+    sh = shingles_df(docs, text_col, k)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    salted = sh.select("doc_id", "shingle", perms)
+    return (
+        salted.withColumn(
+            "h", F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing >=1 LSH band.
+
+    Bands of ``band_size`` consecutive permutations; band key = md5 of the
+    concatenated signature slice. The bucket join is the only shuffle.
+    """
+    sig = minhash_signatures(docs, text_col, n_perm, k)
+    band = (F.col("perm") / band_size).cast("int")
+    bands = (
+        sig.withColumn("band", band)
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over distinct tokens.
+
+    Bit j of a token = high bit of the j-th nibble of md5(token)
+    (hex digit in 89abcdef). Per-bit majority vote over the doc's tokens;
+    ties (vote sum == 0) resolve to 0. Fully SQL-expressible.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token")
+    ).filter(F.col("token") != "")
+    toks = toks.withColumn("h", F.md5("token"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(
+            F.substring(F.col("h"), F.col("j") + 1, 1).isin(*"89abcdef"), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
+    bit_value = F.round(F.pow(F.lit(2), F.col("j"))).cast("long")  # 2^j (j<=15, exact)
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, bit_value).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs over the threshold, candidates
+    enumerated via the shared-bigram equi-join (never all-pairs)."""
+    grams = shingles_df(docs, text_col, n).withColumnRenamed("shingle", "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

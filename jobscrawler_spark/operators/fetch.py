@@ -70,6 +70,11 @@ def run_fetch(selected: DataFrame, round_no: int, max_depth: int) -> DataFrame:
                         outlinks=FM.outlinks_for(url, depth, max_depth),
                     )
                 out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT.fields])
+            pdf_out = pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT.fields])
+            # mixed None+int columns coerce to float64 and destroy the low
+            # bits of 64-bit hashes — force nullable integer dtypes
+            for c in ("phash", "w", "h"):
+                pdf_out[c] = pd.array([r[c] for r in out], dtype="Int64")
+            yield pdf_out
 
     return selected.mapInPandas(fetch_batches, schema=FETCH_RESULT)

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
+signatures) is real and tested; only external codec backends (JPEG/MP3/
+H.264) are stubbed — those libraries are not in this container, and the
+engine's own formats (raw/png/dct, jobscrawler_spark.functions.codecs)
+exercise the full decode path for real.
+
+Pattern: every op is mapInPandas over an Arrow batch iterator — binary
+payloads never cross the boundary row-at-a-time, and the batch size is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import codecs
+
+SUPPORTED_FMTS = set(codecs._DECODERS)
+
+FEATURES_SCHEMA = (
+    "image_id string, fmt string, w int, h int, "
+    "mean_r double, mean_g double, mean_b double, brightness double, phash long"
+)
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+THUMB = 16
+
+
+def _decode_or_raise(data: bytes, fmt: str) -> np.ndarray:
+    if fmt not in SUPPORTED_FMTS:
+        # external codec backends (jpeg/webp/mp3/h264) are not present in
+        # this container; the plumbing (schema, batching, partitioning) is
+        # identical — only the byte decoder would differ.
+        raise NotImplementedError(f"codec backend for {fmt!r} not available")
+    return codecs.decode(data, fmt)
+
+
+def extract_image_features(images: DataFrame) -> DataFrame:
+    """Decode + per-image feature extraction (mean channel, brightness,
+    phash) — the 'feature-extract' stage of a multimodal pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                img = _decode_or_raise(bytes(r.bytes), r.fmt)
+                means = img.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "fmt": r.fmt,
+                        "w": img.shape[1],
+                        "h": img.shape[0],
+                        "mean_r": round(float(means[0]), 4),
+                        "mean_g": round(float(means[1]), 4),
+                        "mean_b": round(float(means[2]), 4),
+                        "brightness": round(float(means.mean()), 4),
+                        "phash": codecs.phash(img),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_images(images: DataFrame, size: int = THUMB) -> DataFrame:
+    """Decode -> area-resize to size x size -> re-encode PNG (deterministic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                img = _decode_or_raise(bytes(r.bytes), r.fmt)
+                yi = (np.arange(img.shape[0]) * size // img.shape[0]).astype(np.int64)
+                xi = (np.arange(img.shape[1]) * size // img.shape[1]).astype(np.int64)
+                acc = np.zeros((size, size, 3))
+                cnt = np.zeros((size, size, 1))
+                np.add.at(acc, (yi[:, None], xi[None, :]), img.astype(np.float64))
+                np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+                thumb = np.clip(np.rint(acc / np.maximum(cnt, 1)), 0, 255).astype(np.uint8)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": codecs.encode(thumb, "png"),
+                        "w": size,
+                        "h": size,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stub: the Spark-side signature/partitioning is the
+    real design; the byte-level demuxer is NotImplemented in this container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError("video demuxer backend not available")
+            yield pd.DataFrame({"video_id": [], "frame_no": [], "bytes": []})
+
+    return videos.mapInPandas(run, schema="video_id string, frame_no int, bytes binary")

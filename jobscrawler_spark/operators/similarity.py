@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100TB pipeline needs both:
+
+- **brute-force cosine top-k** — the exactness baseline. Dot products and
+  norms are computed with ``F.aggregate``/``F.zip_with`` in DOUBLE (JVM,
+  whole-stage codegen; no UDF). Cross-join is bounded by the (small) query
+  side, broadcast.
+- **sign-LSH bucketed top-k** — the scale path: bucket every vector by the
+  sign pattern of its first B components (a deterministic random-hyperplane
+  LSH with axis-aligned planes — SQL-expressible, so the DuckDB oracle can
+  verify it), probe only the query's bucket. At scale the bucket column is
+  a partition key: the probe becomes a co-partitioned join instead of a
+  cross-join.
+
+Similarities are rounded to 4 decimals BEFORE ranking so the ordering
+contract survives float-summation-order differences across engines; ties
+break by vec_id.
+
+Reference analogue: the pgvector embedding store (reference:
+src/embeddings/e5_base_v2_utils.py:117-123) — storage only; the reference
+has no similarity search, this is the north-rule training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, vec_id, sim, rank).
+
+    ``queries``: (query_id, query_vec). The query side is broadcast; the
+    candidate scan is a single narrow pass.
+    """
+    cand = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("query_vec").alias("_q"), _norm(F.col("query_vec")).alias("_nq")
+    )
+    sims = cand.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        F.round(_dot(F.col("_v"), F.col("_q")) / (F.col("_nv") * F.col("_nq")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
+def sign_bucket(vec_col, n_bits: int = 8):
+    """Deterministic sign-LSH bucket id from the first n_bits components."""
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda j: F.when(
+            F.element_at(vec_col, j + 1) > 0, F.round(F.pow(F.lit(2), j)).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, v: acc + v)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucketed approximate top-k: probe only the query's sign bucket.
+
+    Recall < 1 by design (bucket boundaries); deterministic, so the oracle
+    can verify it exactly. At 100TB the embeddings table is written
+    partitioned by ``bucket`` and the probe prunes partitions.
+    """
+    cand = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nv"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id",
+        F.col("query_vec").alias("_q"),
+        _norm(F.col("query_vec")).alias("_nq"),
+        sign_bucket(F.col("query_vec"), n_bits).alias("bucket"),
+    )
+    sims = cand.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        id_col,
+        F.round(_dot(F.col("_v"), F.col("_q")) / (F.col("_nv") * F.col("_nq")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )

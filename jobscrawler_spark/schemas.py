@@ -38,9 +38,10 @@ IMAGES = StructType(
     ]
 )
 
-# Fetch output = IMAGES + crawl lineage columns.
+# Fetch output = IMAGES + crawl lineage columns. Payload fields are all
+# nullable here: non-200 fetches carry a null payload.
 FETCH_RESULT = StructType(
-    list(IMAGES.fields)
+    [StructField(f.name, f.dataType, True) for f in IMAGES.fields]
     + [
         StructField("url", StringType(), False),
         StructField("url_hash", LongType(), False),
