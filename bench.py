@@ -31,9 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
-N_SEEDS = int(os.environ.get("BENCH_SEEDS", "200000"))
-N_HOSTS = int(os.environ.get("BENCH_HOSTS", "2048"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "600000"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "4096"))
 N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+BUDGET = int(os.environ.get("BENCH_BUDGET", "128"))
 
 BENCH_QUERIES = [
     "a1_groupby_agg",
@@ -88,17 +89,25 @@ def run_queries(spark) -> dict[str, float]:
 
 
 def run_crawl(spark, cores: int) -> dict:
+    import pandas as pd
+
     from jobscrawler_spark.engine import CrawlEngine
-    from jobscrawler_spark.generators import gen_politeness, gen_robots, gen_seeds
+    from jobscrawler_spark.generators import gen_hosts, gen_robots, gen_seeds_fast
 
     log(f"  generating {N_SEEDS} seeds over {N_HOSTS} hosts ...")
-    seeds = gen_seeds(n=N_SEEDS, n_hosts=N_HOSTS, seed=42)
-    pol = gen_politeness(n_hosts=N_HOSTS, seed=42)
+    seeds = gen_seeds_fast(n=N_SEEDS, n_hosts=N_HOSTS, seed=42)
+    pol = pd.DataFrame(
+        {
+            "host": gen_hosts(N_HOSTS),
+            "max_fetches_per_round": BUDGET,
+            "crawl_delay_rounds": 0,
+        }
+    )
     rob = gen_robots(n_hosts=N_HOSTS, seed=42)
     base = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
     try:
         eng = CrawlEngine(
-            spark, base, n_shards=64, default_budget=32, max_depth=1, fetch_partitions=cores * 2
+            spark, base, n_shards=64, default_budget=BUDGET, max_depth=1, fetch_partitions=cores * 2
         )
         eng.bootstrap(seeds, pol, rob)
         t0 = time.monotonic()

@@ -138,19 +138,28 @@ class CrawlEngine:
         frontier_df = self.frontier.read(self.spark)
 
         eligible = frontier_df.filter(F.col("not_before_round") <= r)
-        selected = politeness_select(eligible, self._politeness(), self.default_budget).persist()
-        n_selected = selected.count()
-
-        if n_selected == 0:
-            # nothing eligible this round (all delayed); advance the clock
-            selected.unpersist()
-            self.next_round = r + 1
-            self._commit_checkpoint()
-            return {"round": r, "selected": 0, "fetched": 0, "ok": 0, "new_urls": 0}
+        selected = politeness_select(eligible, self._politeness(), self.default_budget)
 
         fetched = run_fetch(
             salted_repartition(selected, self.fetch_partitions), r, self.max_depth
         ).persist()
+
+        # ONE aggregation covers every per-round statistic (keeping the
+        # number of Spark jobs per round flat is what makes small rounds
+        # cheap and scaling efficiency honest)
+        totals = fetched.agg(
+            F.count("*").alias("n_fetched"),
+            F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
+            F.sum(F.size("outlinks")).alias("n_outlinks"),
+        ).collect()[0]
+        n_selected = totals["n_fetched"] or 0
+
+        if n_selected == 0:
+            # nothing eligible this round (all delayed); advance the clock
+            fetched.unpersist()
+            self.next_round = r + 1
+            self._commit_checkpoint()
+            return {"round": r, "selected": 0, "fetched": 0, "ok": 0, "new_urls": 0}
 
         # 1. land images (status==200 only), input_hint shape + lineage
         landed = fetched.filter(F.col("status") == 200).select(IMAGES_LANDED_COLS)
@@ -163,6 +172,7 @@ class CrawlEngine:
                 "url", "url_hash", shard_col(F.col("url_hash"), self.n_shards).alias("shard")
             ),
             r,
+            n_new=n_selected,
         )
 
         # 3. discovered outlinks -> new frontier rows
@@ -178,7 +188,9 @@ class CrawlEngine:
         )
         links = self.seen.filter_unseen(self.spark, links)
 
-        remaining = frontier_df.join(selected.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+        remaining = frontier_df.join(
+            fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        )
         links = links.join(remaining.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         new_rows = (
             links.withColumn("not_before_round", F.lit(r + 1))
@@ -188,7 +200,7 @@ class CrawlEngine:
 
         # 4. crawl-delay pushback for hosts fetched this round
         delayed_hosts = (
-            selected.select("host")
+            fetched.select("host")
             .distinct()
             .join(self._politeness().filter(F.col("crawl_delay_rounds") > 0), "host")
             .select("host", "crawl_delay_rounds")
@@ -212,6 +224,7 @@ class CrawlEngine:
             .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
             .withColumn("input_snapshot", F.lit(f"frontier@{frontier_snap}"))
             .select([f.name for f in ROUND_METRICS.fields])
+            .coalesce(1)
         )
         self.metrics.append(part_metrics, meta={"round": r})
 
@@ -219,13 +232,12 @@ class CrawlEngine:
             "round": r,
             "selected": n_selected,
             "fetched": n_selected,
-            "ok": landed.count(),
-            "new_urls": new_rows.count(),
+            "ok": int(totals["n_ok"] or 0),
+            "new_urls": int(totals["n_outlinks"] or 0),  # discovered (pre-dedupe)
             "images_snapshot": images_snap,
             "wall_s": time.monotonic() - t0,
         }
         fetched.unpersist()
-        selected.unpersist()
         self.next_round = r + 1
         self._commit_checkpoint()
         return stats
@@ -233,9 +245,12 @@ class CrawlEngine:
     def run(self, n_rounds: int) -> list[dict]:
         out = []
         for _ in range(n_rounds):
-            if self.frontier_size() == 0:
+            s = self.run_round()
+            out.append(s)
+            # only pay a frontier count when a round came up empty — it may
+            # mean "all delayed" (continue) or "frontier drained" (stop)
+            if s["selected"] == 0 and self.frontier_size() == 0:
                 break
-            out.append(self.run_round())
         return out
 
     def frontier_size(self) -> int:

@@ -66,6 +66,31 @@ def gen_seeds(n: int = 10_000, n_hosts: int = 64, seed: int = 42, dirty: bool = 
     return pd.DataFrame(rows)
 
 
+def gen_seeds_fast(
+    n: int = 1_000_000, n_hosts: int = 4096, seed: int = 42
+) -> pd.DataFrame:
+    """Vectorized seed generator for bench-scale inputs (same schema as
+    gen_seeds, clean URLs only — canonicalization cost is covered by the
+    dirty-variant path in gen_seeds at unit scale)."""
+    rng = _rng(seed)
+    # half uniform (keeps rounds large under per-host budgets), half
+    # Zipf-skewed (keeps the hot-host salting path exercised)
+    zipf_idx = np.minimum(rng.zipf(1.3, size=n) - 1, n_hosts - 1)
+    unif_idx = rng.integers(0, n_hosts, size=n)
+    host_idx = np.where(rng.random(n) < 0.5, unif_idx, zipf_idx).astype(np.int64)
+    path_id = rng.integers(0, max(n // 2, 4), size=n)
+    hosts = pd.Series(host_idx).map(lambda i: f"h{i:02d}.example.com")
+    urls = "http://" + hosts + "/p/" + pd.Series(path_id).astype(str)
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "host": hosts,
+            "priority": rng.uniform(0, 1, size=n),
+            "depth": np.zeros(n, dtype=np.int32),
+        }
+    )
+
+
 def gen_politeness(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
     """Per-host budgets; host 1 gets budget 0 (must never be fetched)."""
     rng = _rng(seed + 1)

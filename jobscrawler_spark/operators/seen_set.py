@@ -101,16 +101,28 @@ class SeenSet:
         self.bloom = SnapshotTable(f"{base_path}/seen_bloom", SEEN_BLOOM)
 
     # -- update -------------------------------------------------------------
-    def add(self, spark: SparkSession, new_urls: DataFrame, round_no: int) -> None:
+    def add(
+        self,
+        spark: SparkSession,
+        new_urls: DataFrame,
+        round_no: int,
+        n_new: int | None = None,
+    ) -> None:
         """Append (url_hash, url, shard) rows and fold them into the shard
-        blooms via a cogrouped-map (old bloom row + new hashes per shard)."""
+        blooms via a cogrouped-map (old bloom row + new hashes per shard).
+
+        ``n_new`` skips the count action when the caller already knows it
+        (the engine does — one aggregation over the fetched batch covers
+        every per-round statistic).
+        """
         rows = (
             new_urls.select("url_hash", "url", "shard")
             .withColumn("round_added", F.lit(round_no))
             .select([f.name for f in SEEN_SET.fields])
         )
-        rows = rows.repartition(self.n_shards, "shard").persist()
-        n_new = rows.count()
+        rows = rows.persist()
+        if n_new is None:
+            n_new = rows.count()
         if n_new == 0:
             rows.unpersist()
             return
