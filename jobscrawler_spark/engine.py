@@ -102,7 +102,14 @@ class CrawlEngine:
         return self.spark.read.parquet(self._dim_path("politeness"))
 
     def _robots(self) -> DataFrame:
-        return self.spark.read.parquet(self._dim_path("robots"))
+        """Grouped robots dim, cached once per engine (reused every round)."""
+        if getattr(self, "_robots_grouped", None) is None:
+            from .operators.frontier import group_robots
+
+            self._robots_grouped = group_robots(
+                self.spark.read.parquet(self._dim_path("robots"))
+            ).cache()
+        return self._robots_grouped
 
     # ------------------------------------------------------------- bootstrap
     def bootstrap(
@@ -153,6 +160,7 @@ class CrawlEngine:
             F.sum(F.size("outlinks")).alias("n_outlinks"),
         ).collect()[0]
         n_selected = totals["n_fetched"] or 0
+        t_fetch = time.monotonic()
 
         if n_selected == 0:
             # nothing eligible this round (all delayed); advance the clock
@@ -164,6 +172,7 @@ class CrawlEngine:
         # 1. land images (status==200 only), input_hint shape + lineage
         landed = fetched.filter(F.col("status") == 200).select(IMAGES_LANDED_COLS)
         images_snap = self.images.append(landed, meta={"round": r})
+        t_images = time.monotonic()
 
         # 2. all fetched URLs become seen
         self.seen.add(
@@ -174,6 +183,7 @@ class CrawlEngine:
             r,
             n_new=n_selected,
         )
+        t_seen = time.monotonic()
 
         # 3. discovered outlinks -> new frontier rows
         links = (
@@ -209,6 +219,7 @@ class CrawlEngine:
 
         next_frontier = remaining.unionByName(new_rows)
         self.frontier.overwrite(next_frontier, meta={"round": r})
+        t_frontier = time.monotonic()
 
         # 5. per-partition lineage + metrics
         part_metrics = (
@@ -236,6 +247,13 @@ class CrawlEngine:
             "new_urls": int(totals["n_outlinks"] or 0),  # discovered (pre-dedupe)
             "images_snapshot": images_snap,
             "wall_s": time.monotonic() - t0,
+            "phases": {
+                "fetch+agg": round(t_fetch - t0, 2),
+                "images_write": round(t_images - t_fetch, 2),
+                "seen_update": round(t_seen - t_images, 2),
+                "frontier_write": round(t_frontier - t_seen, 2),
+                "metrics+ckpt": round(time.monotonic() - t_frontier, 2),
+            },
         }
         fetched.unpersist()
         self.next_round = r + 1

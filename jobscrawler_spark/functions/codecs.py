@@ -36,15 +36,14 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     comfortably clears PSNR>=40dB while still exercising every block.
     """
     rng = np.random.default_rng(np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
-    fx, fy, ph = rng.uniform(0.5, 3.0, 3), rng.uniform(0.5, 3.0, 3), rng.uniform(0, 6.28, 3)
-    base = rng.uniform(64, 192, 3)
-    y = np.linspace(0, 1, h, dtype=np.float64)[:, None]
-    x = np.linspace(0, 1, w, dtype=np.float64)[None, :]
-    chans = []
-    for c in range(3):
-        v = base[c] + 60 * np.sin(2 * np.pi * (fx[c] * x + fy[c] * y) + ph[c]) + 20 * (x - y)
-        chans.append(v)
-    img = np.stack(chans, axis=-1)
+    fx = rng.uniform(0.5, 3.0, 3).astype(np.float32)
+    fy = rng.uniform(0.5, 3.0, 3).astype(np.float32)
+    ph = rng.uniform(0, 6.28, 3).astype(np.float32)
+    base = rng.uniform(64, 192, 3).astype(np.float32)
+    y = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    x = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    # float32 throughout: halves memory traffic in the fetch hot path
+    img = base + 60 * np.sin(2 * np.float32(np.pi) * (fx * x + fy * y) + ph) + 20 * (x - y)
     return np.clip(np.rint(img), 0, 255).astype(np.uint8)
 
 
@@ -130,13 +129,15 @@ def _dct_matrix(n: int = _B) -> np.ndarray:
 
 _DCT = _dct_matrix()
 _IDCT = _DCT.T
+_DCT32F = _DCT.astype(np.float32)
+_IDCT32F = _IDCT.astype(np.float32)
 _QSTEP = 2.0
 
 
 def _to_blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
     h, w = chan.shape
     ph, pw = (-h) % _B, (-w) % _B
-    padded = np.pad(chan, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    padded = np.pad(chan, ((0, ph), (0, pw)), mode="edge").astype(np.float32)
     H, W = padded.shape
     blocks = padded.reshape(H // _B, _B, W // _B, _B).transpose(0, 2, 1, 3)
     return blocks, h, w
@@ -153,8 +154,8 @@ def encode_dct(img: np.ndarray) -> bytes:
     coefs = []
     for c in range(3):
         blocks, _, _ = _to_blocks(img[:, :, c])
-        dct = _DCT @ blocks @ _IDCT  # batched matmul over (nbh, nbw, 8, 8)
-        q = np.rint(dct / _QSTEP).astype(np.int16)
+        dct = _DCT32F @ blocks @ _IDCT32F  # batched matmul over (nbh, nbw, 8, 8)
+        q = np.rint(dct / np.float32(_QSTEP)).astype(np.int16)
         coefs.append(q)
     payload = np.stack(coefs).tobytes()
     return struct.pack(">II", w, h) + zlib.compress(payload, 6)
@@ -166,8 +167,8 @@ def decode_dct(data: bytes) -> np.ndarray:
     q = np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16).reshape(3, nbh, nbw, _B, _B)
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
-        dct = q[c].astype(np.float64) * _QSTEP
-        blocks = _IDCT @ dct @ _DCT
+        dct = q[c].astype(np.float32) * np.float32(_QSTEP)
+        blocks = _IDCT32F @ dct @ _DCT32F
         out[:, :, c] = np.clip(np.rint(_from_blocks(blocks, h, w)), 0, 255).astype(np.uint8)
     return out
 
@@ -202,6 +203,7 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 _PHASH_DCT32 = _dct_matrix(32)
+_PHASH_DCT32_8 = _PHASH_DCT32[:8].copy()  # only the low-frequency rows are used
 
 
 def _area_resize_gray(img: np.ndarray, size: int = 32) -> np.ndarray:
@@ -223,9 +225,11 @@ def phash(img: np.ndarray) -> int:
     small = _area_resize_gray(img, 32)
     # einsum (non-BLAS, sequential) + coarse rounding: BLAS matmul summation
     # order varies with thread count across driver/executor processes, and
-    # bits flipping at the median would break cross-process determinism
-    dct = np.einsum("ij,jk,lk->il", _PHASH_DCT32, small, _PHASH_DCT32, optimize=False)
-    low = np.round(dct[:8, :8].flatten(), 2)
+    # bits flipping at the median would break cross-process determinism.
+    # Two-step 8x32 einsum: only the low-frequency 8x8 block is needed.
+    tmp = np.einsum("ij,jk->ik", _PHASH_DCT32_8, small, optimize=False)
+    dct8 = np.einsum("ik,lk->il", tmp, _PHASH_DCT32_8, optimize=False)
+    low = np.round(dct8.flatten(), 2)
     med = np.median(low[1:])  # exclude DC term from the median
     bits = (low > med).astype(np.uint64)
     bits[0] = 0  # DC bit pinned for stability

@@ -29,13 +29,10 @@ from pyspark.sql import functions as F
 SALT_BUCKETS = 16
 
 
-def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose path matches a disallow rule (longest prefix wins).
-
-    URLs with no matching rule are allowed. ``robots`` is the small dim
-    (host, path_prefix, allow) — broadcast.
-    """
-    rules_by_host = robots.groupBy("host").agg(
+def group_robots(robots: DataFrame) -> DataFrame:
+    """Pre-aggregate robots rules to one array row per host (cacheable —
+    the engine reuses it across rounds instead of re-grouping the dim)."""
+    return robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
                 F.length("path_prefix").alias("len"),
@@ -44,6 +41,16 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
             )
         ).alias("rules")
     )
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose path matches a disallow rule (longest prefix wins).
+
+    URLs with no matching rule are allowed. ``robots`` is the small dim
+    (host, path_prefix, allow) — broadcast; pass a pre-grouped dim (from
+    group_robots) to skip the per-call aggregation.
+    """
+    rules_by_host = robots if "rules" in robots.columns else group_robots(robots)
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     with_rules = candidates.join(F.broadcast(rules_by_host), "host", "left")
     applicable = F.filter(
