@@ -363,6 +363,37 @@ def q_crawl_round(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_jobs_pipeline(spark, sf):
+    """The reference's full main() DAG (parse -> clean -> enrich -> stamp ->
+    upsert) over deterministic fixtures. Not SQL-expressible end-to-end
+    (multi-stage with stateful sink); parity is pinned by
+    tests/test_jobs_pipeline.py + the per-stage oracles. Rows-only check."""
+    import datetime
+
+    from jobscrawler_spark.generators import (
+        gen_payload_bodies,
+        gen_site_configs,
+        gen_world_locations,
+    )
+    from jobscrawler_spark.jobs_pipeline import run_jobs_pipeline
+    from jobscrawler_spark.plans.tables import SnapshotTable
+    from jobscrawler_spark.schemas import JOBS, PAYLOADS, SITE_CONFIGS, WORLD_LOCATIONS
+
+    base = tempfile.mkdtemp(prefix="q_jobs_pipeline_")
+    try:
+        cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
+        pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
+        dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
+        table = SnapshotTable(f"{base}/jobs", JOBS)
+        run_jobs_pipeline(
+            spark, cfg, pl, dim, table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
+        )
+        out = table.read(spark)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_groupby_agg": q_a1_groupby_agg,
@@ -391,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "crawl_round": q_crawl_round,
+        "jobs_pipeline": q_jobs_pipeline,
     }
 
 

@@ -169,20 +169,29 @@ class CrawlEngine:
             self._commit_checkpoint()
             return {"round": r, "selected": 0, "fetched": 0, "ok": 0, "new_urls": 0}
 
-        # 1. land images (status==200 only), input_hint shape + lineage
-        landed = fetched.filter(F.col("status") == 200).select(IMAGES_LANDED_COLS)
-        images_snap = self.images.append(landed, meta={"round": r})
-        t_images = time.monotonic()
+        # 1+2. land images and update the seen set — independent jobs over
+        # the cached fetch batch; run concurrently (the Spark scheduler
+        # accepts jobs from multiple threads; latency, not CPU, dominates
+        # these at small round sizes)
+        from concurrent.futures import ThreadPoolExecutor
 
-        # 2. all fetched URLs become seen
-        self.seen.add(
-            self.spark,
-            fetched.select(
-                "url", "url_hash", shard_col(F.col("url_hash"), self.n_shards).alias("shard")
-            ),
-            r,
-            n_new=n_selected,
-        )
+        landed = fetched.filter(F.col("status") == 200).select(IMAGES_LANDED_COLS)
+        with ThreadPoolExecutor(2) as ex:
+            f_images = ex.submit(self.images.append, landed, {"round": r})
+            f_seen = ex.submit(
+                self.seen.add,
+                self.spark,
+                fetched.select(
+                    "url",
+                    "url_hash",
+                    shard_col(F.col("url_hash"), self.n_shards).alias("shard"),
+                ),
+                r,
+                n_selected,
+            )
+            images_snap = f_images.result()
+            t_images = time.monotonic()
+            f_seen.result()
         t_seen = time.monotonic()
 
         # 3. discovered outlinks -> new frontier rows
@@ -218,10 +227,9 @@ class CrawlEngine:
         remaining = apply_crawl_delay(remaining, delayed_hosts, r)
 
         next_frontier = remaining.unionByName(new_rows)
-        self.frontier.overwrite(next_frontier, meta={"round": r})
-        t_frontier = time.monotonic()
 
-        # 5. per-partition lineage + metrics
+        # 5. per-partition lineage + metrics (independent of the frontier
+        # write; runs concurrently with it)
         part_metrics = (
             fetched.groupBy("partition_id")
             .agg(
@@ -237,7 +245,12 @@ class CrawlEngine:
             .select([f.name for f in ROUND_METRICS.fields])
             .coalesce(1)
         )
-        self.metrics.append(part_metrics, meta={"round": r})
+        with ThreadPoolExecutor(2) as ex:
+            f_frontier = ex.submit(self.frontier.overwrite, next_frontier, {"round": r})
+            f_metrics = ex.submit(self.metrics.append, part_metrics, {"round": r})
+            f_frontier.result()
+            f_metrics.result()
+        t_frontier = time.monotonic()
 
         stats = {
             "round": r,

@@ -81,6 +81,9 @@ def bloom_test(bits_buf: bytes, hashes: np.ndarray, n_bits: int) -> np.ndarray:
     return probe.all(axis=0)
 
 
+GROWTH = 8  # headroom factor on (re)build so rebuilds amortize O(log n)
+
+
 def _size_for(n_items: int) -> int:
     target = max(n_items * BITS_PER_ITEM, MIN_BITS)
     n = MIN_BITS
@@ -126,7 +129,6 @@ class SeenSet:
         if n_new == 0:
             rows.unpersist()
             return
-        self.seen.append(rows, meta={"round": round_no, "rows": n_new})
 
         old_bloom = self.bloom.read(spark)
 
@@ -134,7 +136,7 @@ class SeenSet:
             shard = int(key[0])
             hashes = new_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
             if bloom_pdf.empty:
-                n_bits = _size_for(len(hashes))
+                n_bits = _size_for(len(hashes) * GROWTH)
                 bits = bloom_build(hashes, n_bits)
                 n_items = len(hashes)
             else:
@@ -161,8 +163,27 @@ class SeenSet:
         # shards with no new rows keep their old bloom row
         untouched = old_bloom.join(rows.select("shard").distinct(), "shard", "left_anti")
         merged = updated.unionByName(untouched).persist()
-        needs_rebuild = [r["shard"] for r in merged.filter(F.col("n_bits") == 0).select("shard").collect()]
-        self.bloom.overwrite(merged, meta={"round": round_no})
+
+        # the exact-set append and the bloom fold are independent jobs over
+        # the cached rows — run them concurrently (scheduler latency, not
+        # CPU, dominates them at small round sizes)
+        def _bloom_job() -> list[int]:
+            shards = [
+                r["shard"]
+                for r in merged.filter(F.col("n_bits") == 0).select("shard").collect()
+            ]
+            self.bloom.overwrite(merged, meta={"round": round_no})
+            return shards
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            f_append = ex.submit(
+                self.seen.append, rows, {"round": round_no, "rows": n_new}
+            )
+            f_bloom = ex.submit(_bloom_job)
+            f_append.result()
+            needs_rebuild = f_bloom.result()
         merged.unpersist()
         rows.unpersist()
         if needs_rebuild:
@@ -173,7 +194,7 @@ class SeenSet:
 
         def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
             hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            n_bits = _size_for(len(hashes))
+            n_bits = _size_for(len(hashes) * GROWTH)
             return pd.DataFrame(
                 [
                     {
