@@ -83,7 +83,7 @@ def q_a1_groupby_agg(spark, sf):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "sum_disc_price"
             ),
@@ -438,7 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
@@ -452,8 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "w4_budget_window": """
             SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
               SELECT o_custkey, o_orderkey, o_orderdate,
-                     row_number() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_orderdate, o_orderkey) AS rn
+                     CAST(row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
               FROM orders) WHERE rn <= 3
         """,
         "j2_broadcast_dim_join": """
@@ -587,7 +587,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE token <> ''),
             votes AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j)
             SELECT doc_id,
-                   sum(CASE WHEN v > 0 THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN v > 0 THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": f"""
@@ -665,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
                           len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                               t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) * 1.0
                           / len(list_filter({_TOK}, t -> t <> '')) ELSE 0.0 END) > 0.01
-                        THEN 0.3 ELSE 0.0 END), 2) AS quality
+                        THEN 0.3 ELSE 0.0 END), 2)::DOUBLE AS quality
             FROM documents
         """,
         "text_lang_id": """
