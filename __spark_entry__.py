@@ -305,6 +305,26 @@ def _queries_df(spark, sf):
     )
 
 
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    e = _t(spark, sf, "embeddings")
+    return D.embedding_cosine_pairs(e, threshold=0.5, n_bits=4)
+
+
+def q_j_shuffle_join(spark, sf):
+    """Big-side shuffle join (TPC-H Q3 shape): lineitem x orders with
+    filter pushdown on both sides, revenue per order."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(o.filter(F.col("o_orderdate") < F.lit("1995-03-15")), 
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
 def q_ann_cosine_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return SIM.cosine_topk(e, _queries_df(spark, sf), k=5)
@@ -416,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "j_shuffle_join": q_j_shuffle_join,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_features": q_text_features,
@@ -608,6 +630,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.4
+        """,
+        "dedup_embedding_cosine": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])))), 4) AS cosine
+            FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])))) >= 0.49995
+        """,
+        "j_shuffle_join": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > TIMESTAMP '1995-03-15'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

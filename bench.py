@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "j_shuffle_join",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_features",

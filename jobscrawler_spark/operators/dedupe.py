@@ -141,6 +141,46 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+
+    Candidates are enumerated within sign-LSH buckets (first n_bits
+    component signs) — a vector pair with cosine >= 0.9 almost surely
+    agrees on leading-component signs, and the bucket join keeps the
+    self-join O(sum bucket^2) instead of O(n^2). Similarities in DOUBLE,
+    rounded before thresholding so both engines agree.
+    """
+    from .similarity import _dot, _norm, sign_bucket
+
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "bucket"
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
