@@ -51,7 +51,9 @@ from .operators.frontier import (
 )
 from .operators.seen_set import SeenSet
 from .plans.tables import SnapshotTable
-from .schemas import FRONTIER, IMAGES, POLITENESS, ROBOTS, ROUND_METRICS
+from pyspark.sql.types import StructType
+
+from .schemas import FETCH_RESULT, FRONTIER, IMAGES, POLITENESS, ROBOTS, ROUND_METRICS
 
 IMAGES_LANDED_COLS = [f.name for f in IMAGES.fields] + [
     "url",
@@ -63,6 +65,9 @@ IMAGES_LANDED_COLS = [f.name for f in IMAGES.fields] + [
     "priority",
     "partition_id",
 ]
+IMAGES_LANDED = StructType(
+    [next(f for f in FETCH_RESULT.fields if f.name == c) for c in IMAGES_LANDED_COLS]
+)
 
 
 class CrawlEngine:
@@ -84,7 +89,7 @@ class CrawlEngine:
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
         self.frontier = SnapshotTable(f"{base_path}/frontier", FRONTIER)
-        self.images = SnapshotTable(f"{base_path}/images")
+        self.images = SnapshotTable(f"{base_path}/images", IMAGES_LANDED)
         self.metrics = SnapshotTable(f"{base_path}/metrics", ROUND_METRICS)
         self.seen = SeenSet(base_path, n_shards)
         self.next_round = 0
