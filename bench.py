@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
-N_SEEDS = int(os.environ.get("BENCH_SEEDS", "400000"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "300000"))
 N_HOSTS = int(os.environ.get("BENCH_HOSTS", "4096"))
 N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "1"))
 BUDGET = int(os.environ.get("BENCH_BUDGET", "128"))
@@ -42,7 +42,7 @@ BUDGET = int(os.environ.get("BENCH_BUDGET", "128"))
 SCALING_PAIR = tuple(
     int(x) for x in os.environ.get("BENCH_SCALING_PAIR", "1,4").split(",")
 )
-SCALE_SEEDS = int(os.environ.get("BENCH_SCALE_SEEDS", "330000"))
+SCALE_SEEDS = int(os.environ.get("BENCH_SCALE_SEEDS", "150000"))
 PAIR_ROUNDS = int(os.environ.get("BENCH_PAIR_ROUNDS", "1"))
 
 # driver memory must be set before the first JVM spins up
@@ -204,16 +204,11 @@ def main() -> None:
     t_start = time.monotonic()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    log(f"== queries at {SF_DIR} on local[{CPUS}] ==")
-    spark = _new_session(CPUS)
-    queries = run_queries(spark)
-
-    log(f"== crawl throughput on local[{CPUS}] ==")
-    # fresh session: the query phase leaves shuffle files + python workers
-    # that measurably slow a reused session's crawl
-    spark = _new_session(CPUS)
-    main_run = run_crawl(spark, CPUS)
-    log(f"  {main_run}")
+    queries = {}
+    if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
+        log(f"== queries at {SF_DIR} on local[{CPUS}] ==")
+        spark = _new_session(CPUS)
+        queries = run_queries(spark)
 
     pair_runs = []
     if DO_SCALING:
@@ -232,6 +227,14 @@ def main() -> None:
             r = max(attempts, key=lambda a: a["urls_per_sec"])
             log(f"  best: {r}")
             pair_runs.append(r)
+
+    log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
+    # fresh session: residue from earlier phases measurably slows crawls
+    spark = _new_session(CPUS)
+    main_run = max(
+        (run_crawl(spark, CPUS) for _ in range(2)), key=lambda a: a["urls_per_sec"]
+    )
+    log(f"  best: {main_run}")
 
     total = round(time.monotonic() - t_start, 2)
     scaling = None

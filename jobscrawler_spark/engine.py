@@ -206,11 +206,12 @@ class CrawlEngine:
         )
         links = with_canonical(links, n_shards=self.n_shards)
         links = robots_gate(links, self._robots())
-        links = links.groupBy("url", "url_hash", "host", "shard").agg(F.min("depth").alias("depth"))
         links = links.withColumn(
             "priority", F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double") / 1_000_000.0
         )
-        links = self.seen.filter_unseen(self.spark, links)
+        # within-round URL dedupe (min depth) folds into the probe's shard
+        # cogroup — url determines shard, so it is shard-local
+        links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
 
         remaining = frontier_df.join(
             fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti"

@@ -212,15 +212,24 @@ class SeenSet:
         self.bloom.overwrite(rebuilt.unionByName(others), meta={"rebuilt": shards})
 
     # -- probe ---------------------------------------------------------------
-    def filter_unseen(self, spark: SparkSession, candidates: DataFrame) -> DataFrame:
+    def filter_unseen(
+        self,
+        spark: SparkSession,
+        candidates: DataFrame,
+        dedupe_min_depth: bool = False,
+    ) -> DataFrame:
         """Rows of ``candidates`` whose (url_hash, url) is not in the set.
 
         Plan: cogrouped bloom probe per shard (bloom misses exit early) ->
         exact left-anti join for bloom hits only.
+
+        ``dedupe_min_depth``: url determines shard, so within-batch URL
+        dedupe (keeping min depth) is shard-local — folding it into the
+        probe saves the caller a full shuffle.
         """
         seen_df = self.seen.read(spark)
         bloom_df = self.bloom.read(spark)
-        if self.seen.current_snapshot is None:
+        if self.seen.current_snapshot is None and not dedupe_min_depth:
             return candidates
 
         cand_cols = candidates.columns
@@ -231,6 +240,10 @@ class SeenSet:
         def probe(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
             if cand_pdf.empty:
                 return cand_pdf.assign(__maybe=pd.Series([], dtype=bool))
+            if dedupe_min_depth:
+                cand_pdf = cand_pdf.sort_values(
+                    ["url", "depth"], kind="mergesort"
+                ).drop_duplicates(subset=["url"], keep="first")
             if bloom_pdf.empty:
                 return cand_pdf.assign(__maybe=False)
             row = bloom_pdf.iloc[0]
