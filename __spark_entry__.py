@@ -383,6 +383,26 @@ def q_crawl_round(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_extract_verify(spark, sf):
+    """Extract/verify stage (BASELINE.json input_hint): decode every image
+    byte payload, check PSNR>=40dB (lossy) / exactness (lossless), caption
+    equality and phash recompute. Python decode -> rows-only check; the
+    invariants themselves are asserted in tests/test_equivalence.py."""
+    from jobscrawler_spark.generators import gen_images
+    from jobscrawler_spark.operators.extract import verify_images
+    from jobscrawler_spark.schemas import IMAGES
+
+    pdf = gen_images(128)
+    images = spark.createDataFrame(pdf, IMAGES).withColumn(
+        "url", F.regexp_replace("image_id", r"^http://", "http://")
+    )
+    # gen_images ids are canonical urls of the synthetic fetch
+    out = verify_images(images).select(
+        "image_id", "fmt", "decode_ok", "psnr_ok", "caption_ok", "phash_match"
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def q_jobs_pipeline(spark, sf):
     """The reference's full main() DAG (parse -> clean -> enrich -> stamp ->
     upsert) over deterministic fixtures. Not SQL-expressible end-to-end
@@ -445,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "crawl_round": q_crawl_round,
         "jobs_pipeline": q_jobs_pipeline,
+        "extract_verify": q_extract_verify,
     }
 
 
