@@ -217,12 +217,9 @@ def main() -> None:
             spark = _new_session(cores)
             # best-of-2: host-level contention on this shared VM only ever
             # slows a run; the max approximates the uncontended machine
-            # N level: a 1-core job on a 32-core box is rarely contended —
-            # one attempt; the wider level is noise-prone — best of 2
-            n_attempts = 1 if cores == min(SCALING_PAIR) else 2
             attempts = [
                 run_crawl(spark, cores, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS)
-                for _ in range(n_attempts)
+                for _ in range(2)
             ]
             r = max(attempts, key=lambda a: a["urls_per_sec"])
             log(f"  best: {r}")
