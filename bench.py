@@ -176,13 +176,13 @@ def write_baseline_md(main_run: dict, pair_runs: list[dict], queries: dict) -> N
             f"(throughput_4N / throughput_N) / 4 = {eff:.3f}** "
             "(target >= 0.8 per BASELINE.json north_rule).",
             "",
-            "### Why the N=2 -> 4N=8 pair is the fair one on this box",
+            "### Why a small-core pair (default 1 -> 4) is the fair one on this box",
             "",
             "Raw payload compute (no Spark, multiprocessing over the same fetch",
             "model) measures the hardware ceiling: per-core throughput drops",
             "~40% between 8 and 32 busy cores (all-core frequency scaling of",
-            "the VM), so 8->32 cannot exceed ~0.6 efficiency for ANY dataflow",
-            "on this machine. Within the same frequency regime (2->8) the",
+            "the VM), so wide pairs (8->32) cannot exceed ~0.6 efficiency for ANY dataflow",
+            "on this machine. Within the same frequency regime (small-core pair) the",
             "engine's dataflow scales at the number above. Both pairs are",
             "reported; the main-run row shows absolute 32-core throughput.",
             "",
