@@ -335,6 +335,24 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, _queries_df(spark, sf), k=5, n_bits=8)
 
 
+def q_ann_ivf_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, n_centroids=8)
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal decode + feature extraction over binary image columns
+    (mapInPandas; engine codecs). Python decode -> rows-only check; the
+    invariants are asserted in tests/test_multimodal.py."""
+    from jobscrawler_spark.generators import gen_images
+    from jobscrawler_spark.operators.multimodal import extract_image_features
+    from jobscrawler_spark.schemas import IMAGES
+
+    images = spark.createDataFrame(gen_images(96), IMAGES)
+    out = extract_image_features(images)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def q_text_features(spark, sf):
     d = _t(spark, sf, "documents")
     t = F.col("text")
@@ -460,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_shuffle_join": q_j_shuffle_join,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_features": q_multimodal_features,
         "text_features": q_text_features,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -676,6 +696,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate > TIMESTAMP '1995-03-15'
               AND o_orderdate < TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+
+        "ann_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS centroid_id, embedding AS c
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            assign AS (
+              SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])))), 6) DESC, c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+                  FROM assign WHERE vec_id < 5),
+            sims AS (
+              SELECT q.query_id, a.vec_id,
+                     round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS sim
+              FROM assign a JOIN q ON a.centroid_id = q.centroid_id)
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+              FROM sims) WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

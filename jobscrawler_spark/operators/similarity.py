@@ -86,6 +86,76 @@ def sign_bucket(vec_col, n_bits: int = 8):
     return F.aggregate(bits, F.lit(0), lambda acc, v: acc + v)
 
 
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic IVF codebook: the first ``n_centroids`` vectors by id.
+    A seeding choice any engine (and the SQL oracle) reproduces exactly;
+    a k-means refine would drop in here without changing the probe plan."""
+    return embeddings.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_c"),
+        _norm(F.col(vec_col)).alias("_nc"),
+    )
+
+
+def ivf_assign(vectors: DataFrame, cents: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its argmax-cosine centroid (ties -> lowest
+    centroid id). Returns (id, _v, _nv, centroid_id)."""
+    base = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "_v",
+        "_nv",
+        "centroid_id",
+        F.round(_dot(F.col("_v"), F.col("_c")) / (F.col("_nv") * F.col("_nc")), 6).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_v", "_nv", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the query's nearest
+    centroid's inverted list (codebook built from the embeddings side).
+    At scale the embeddings table is written partitioned by centroid_id
+    (partition pruning on probe)."""
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
+    q = queries.select(
+        F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col)
+    )
+    q_assigned = ivf_assign(q, cents, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_q"),
+        F.col("_nv").alias("_nq"),
+        "centroid_id",
+    )
+    sims = assigned.join(F.broadcast(q_assigned), "centroid_id").select(
+        "query_id",
+        id_col,
+        F.round(_dot(F.col("_v"), F.col("_q")) / (F.col("_nv") * F.col("_nq")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "sim", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
