@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from jobscrawler_spark.functions import text as T
-from jobscrawler_spark.functions.cleaning import clean_location_col, clean_text_col
+from jobscrawler_spark.functions.cleaning import clean_location_col
 from jobscrawler_spark.operators import dedupe as D
 from jobscrawler_spark.operators import similarity as SIM
 

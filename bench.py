@@ -13,8 +13,11 @@ N vs 4N executor criterion, per the driver instruction).
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for the main run (default 32)
-  BENCH_SCALING        1 (default) = run the crawl at 8 and CPUS cores
-  BENCH_SEEDS / BENCH_HOSTS / BENCH_ROUNDS   crawl sizing
+  BENCH_SCALING        1 (default) = run the N vs 4N scaling pair
+  BENCH_SCALING_PAIR   default "1,4" (see BENCH/BASELINE.md rationale)
+  BENCH_SEEDS / BENCH_HOSTS / BENCH_ROUNDS / BENCH_BUDGET  crawl sizing
+  BENCH_SCALE_SEEDS / BENCH_PAIR_ROUNDS  scaling-pair sizing
+  BENCH_SKIP_QUERIES   1 = skip the sf query timings (crawl only)
 """
 
 from __future__ import annotations

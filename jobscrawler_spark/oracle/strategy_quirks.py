@@ -26,10 +26,7 @@ where the two contracts agree and where they deliberately differ:
 
 from __future__ import annotations
 
-import json
 import re
-
-import pandas as pd
 
 P_JOB = r'<div class="job">(.*?)</div>'
 P_TITLE = r'<h2 class="title">(.*?)</h2>'

@@ -81,3 +81,27 @@ def test_canon_idempotence_property(scheme, host_i, params, frag):
     c = canonicalize_py(url)
     assert canonicalize_py(c) == c
     assert c.split("://")[1].split("/")[0].islower() or c.split("://")[1].split("/")[0].isdigit()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def _build_xxhash_cases(s):
+    # collected below into a single Spark-parity check (one session roundtrip)
+    _build_xxhash_cases.cases.append(s)
+
+
+_build_xxhash_cases.cases = []
+
+
+def test_xxhash64_random_strings_match_spark(spark):
+    """Property: the pure-Python XXH64 port matches F.xxhash64 on random
+    unicode strings (single Spark roundtrip for all hypothesis samples)."""
+    try:
+        _build_xxhash_cases()
+    except Exception:
+        pass
+    cases = list(dict.fromkeys(_build_xxhash_cases.cases)) or ["fallback"]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in cases:
+        assert got[s] == spark_xxhash64_str(s), repr(s)
