@@ -79,12 +79,19 @@ class CrawlEngine:
         default_budget: int = 8,
         max_depth: int = 2,
         fetch_partitions: int | None = None,
+        expire_history: bool = False,
     ):
         self.spark = spark
         self.base = base_path
         self.n_shards = n_shards
         self.default_budget = default_budget
         self.max_depth = max_depth
+        # bounded-history mode: after each checkpoint, drop frontier
+        # snapshots made unreachable by the round's overwrite (a long crawl
+        # would otherwise keep one dead frontier copy per round on disk).
+        # Resume only ever rolls back to the LATEST checkpoint, so expiring
+        # pre-overwrite history is safe.
+        self.expire_history = expire_history
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
@@ -277,6 +284,8 @@ class CrawlEngine:
         fetched.unpersist()
         self.next_round = r + 1
         self._commit_checkpoint()
+        if self.expire_history and self.frontier.current_snapshot is not None:
+            self.frontier.expire_before(self.frontier.current_snapshot)
         return stats
 
     def run(self, n_rounds: int) -> list[dict]:
