@@ -263,6 +263,57 @@ def q_w_window_time_agg(spark, sf):
     )
 
 
+def q_w_sessionize(spark, sf):
+    """Gap-based sessionization (lag + cumulative sum): sessions split on
+    >30 min inactivity per user — the standard event-stream operator the
+    reference's cron-batch rounds approximate."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is exact
+    ts_utc = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_utc) - F.unix_micros(F.lag(ts_utc).over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def q_a_percentiles(spark, sf):
+    """Exact continuous percentiles (median/p90 of order value per
+    priority) — percentile() is exact in both engines."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_a_rollup(spark, sf):
+    """ROLLUP aggregation (region -> nation -> grand total) — hierarchy
+    totals beyond the reference's flat GROUP BYs."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_f15_embed_wrap(spark, sf):
     """F14/F15: embed-text cleanup + XML-ish wrapping."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -470,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_positional_join": q_j4_positional_join,
         "w_window_time_agg": q_w_window_time_agg,
         "f15_embed_wrap": q_f15_embed_wrap,
+        "w_sessionize": q_w_sessionize,
+        "a_percentiles": q_a_percentiles,
+        "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -604,6 +658,38 @@ def oracle_sql() -> dict[str, str]:
         "w_window_time_agg": """
             SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "w_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, round(sum(value), 4) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "a_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "a_rollup": """
+            SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         "f15_embed_wrap": """
             SELECT doc_id,
