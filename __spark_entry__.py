@@ -246,6 +246,17 @@ def q_u_union_sources(spark, sf):
     )
 
 
+def q_u_intersect_except(spark, sf):
+    """Set operators beyond the reference's unions (SURVEY §2.6 marks
+    intersect/except absent there): users who viewed AND clicked but never
+    purchased — INTERSECT then EXCEPT on user sets."""
+    e = _t(spark, sf, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.intersect(clickers).exceptAll(buyers).select("user_id")
+
+
 def q_j4_positional_join(spark, sf):
     """J4: positional explode (zip semantics) — (doc_id, pos, token)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
@@ -519,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_token_frequency": q_a7_token_frequency,
         "u_union_sources": q_u_union_sources,
         "j4_positional_join": q_j4_positional_join,
+        "u_intersect_except": q_u_intersect_except,
         "w_window_time_agg": q_w_window_time_agg,
         "f15_embed_wrap": q_f15_embed_wrap,
         "w_sessionize": q_w_sessionize,
@@ -648,6 +660,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'rss', value FROM events WHERE event_type = 'purchase')
             SELECT source_kind, count(*) AS n, round(sum(value), 4) AS total_value
             FROM u GROUP BY source_kind
+        """,
+        "u_intersect_except": """
+            SELECT user_id FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         """,
         "j4_positional_join": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 50),
