@@ -509,6 +509,9 @@ def q_jobs_pipeline(spark, sf):
             spark, cfg, pl, dim, table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
         )
         out = table.read(spark)
+        # the driver's rows-only canonicalizer sorts via pandas, which cannot
+        # hash list cells — project the array column to a stable string
+        out = out.withColumn("location_tags", F.concat_ws(",", "location_tags"))
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -638,12 +641,16 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1
         """,
         "a5_distinct": "SELECT DISTINCT lang, source FROM documents",
+        # DuckDB sum() returns HUGEINT — cast to BIGINT to match Spark's
+        # long (CLAUDE.md rule); token split filters empties to match
+        # text.token_count exactly (0 for empty/whitespace-only docs)
         "a6_batch_stats": f"""
             SELECT count(*) AS n_docs,
-                   sum(len({_TOK})) AS total_tokens,
-                   round(avg(len({_TOK})), 6) AS avg_tokens,
-                   sum(CASE WHEN len({_TOK}) > 50 THEN 1 ELSE 0 END) AS n_truncated,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(len(list_filter({_TOK}, t -> t <> ''))) AS BIGINT) AS total_tokens,
+                   round(avg(len(list_filter({_TOK}, t -> t <> ''))), 6) AS avg_tokens,
+                   CAST(sum(CASE WHEN len(list_filter({_TOK}, t -> t <> '')) > 50
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
         """,
         "a7_token_frequency": f"""

@@ -284,8 +284,14 @@ class CrawlEngine:
         fetched.unpersist()
         self.next_round = r + 1
         self._commit_checkpoint()
-        if self.expire_history and self.frontier.current_snapshot is not None:
-            self.frontier.expire_before(self.frontier.current_snapshot)
+        if self.expire_history:
+            # every write to these tables is an overwrite, so anything older
+            # than the just-checkpointed snapshot is unreachable; resume only
+            # ever rolls back to the LATEST checkpoint, so expiry is safe
+            if self.frontier.current_snapshot is not None:
+                self.frontier.expire_before(self.frontier.current_snapshot)
+            if self.seen.bloom.current_snapshot is not None:
+                self.seen.bloom.expire_before(self.seen.bloom.current_snapshot)
         return stats
 
     def run(self, n_rounds: int) -> list[dict]:

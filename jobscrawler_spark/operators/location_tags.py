@@ -20,10 +20,14 @@ src/crawler.py:110-167 ``add_location_tags_to_df`` + 45-107
 
 Known divergence from the reference (documented, exercised in tests):
 the reference consumes bigram tokens sequentially (i += 2), so in a chain
-A B C where both "A B" and "B C" match, it tags only "A B". This engine
-evaluates bigrams via a window, so B would receive a tag from either side.
-Real location strings don't contain overlapping compounds; the parity
-tests pin equality on non-overlapping fixtures.
+A B C where both "A B" and "B C" match, it tags only "A B" (and C gets an
+independent lookup). This engine evaluates bigrams via a window, so B and
+C could both receive compound tags. Real location strings don't contain
+overlapping compounds; the parity tests pin equality on non-overlapping
+fixtures. Within a NON-overlapping compound the engine matches the
+reference exactly, including the trailing-token rule: a token that
+completes a matched compound takes the compound tag even when it has its
+own unigram tag (tag_bwd outranks tag1 in the coalesce below).
 """
 
 from __future__ import annotations
@@ -83,7 +87,10 @@ def add_location_tags(df: DataFrame, dim: DataFrame, id_col: str) -> DataFrame:
             F.upper(F.col("prev_untagged_compound")) == F.col("alias3"),
             "left",
         )
-        .withColumn("tag", F.coalesce("tag1", "tag_fwd", "tag_bwd", F.lit("NaN")))
+        # tag_bwd outranks tag1: the reference consumes the trailing token of
+        # a matched compound (i += 2, src/crawler.py:88-101), so that token
+        # gets the compound tag even when it has its own unigram tag
+        .withColumn("tag", F.coalesce("tag_bwd", "tag1", "tag_fwd", F.lit("NaN")))
     )
 
     grouped = joined.groupBy(id_col).agg(

@@ -133,6 +133,12 @@ class SeenSet:
         old_bloom = self.bloom.read(spark)
 
         def update(key, new_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+            if new_pdf.empty:
+                # cogroup visits the union of keys: a shard present only in
+                # old_bloom has nothing to fold in and is already carried by
+                # the `untouched` anti-join union below — emitting a row here
+                # would duplicate it (one extra full bit-array per idle round)
+                return bloom_pdf.iloc[0:0]
             shard = int(key[0])
             hashes = new_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
             if bloom_pdf.empty:

@@ -24,8 +24,11 @@ def upsert_unique(
     key: str,
     meta: dict | None = None,
 ) -> dict:
-    """Insert rows whose ``key`` is not already present; first occurrence
-    within the batch wins (deterministic: min over the remaining columns).
+    """Insert rows whose ``key`` is not already present. Within-batch
+    conflicts resolve by min over the remaining columns (value order, NOT
+    occurrence order — a DataFrame has no stable row order to mirror the
+    reference's ON CONFLICT DO NOTHING insertion-order rule; callers that
+    need occurrence order must carry an explicit index column in ``df``).
 
     Returns the reference's postgre_report shape:
     {count_before, count_after, inserted, batch_rows}.

@@ -26,6 +26,9 @@ def test_expire_history_bounds_disk_and_preserves_results(spark, tmp_path):
 
     # bounded history: exactly one live frontier snapshot vs one per round
     assert len(b.frontier.snapshots()) == 1
+    # the bloom table is overwrite-per-round too — it must be bounded as well
+    assert len(b.seen.bloom.snapshots()) == 1
+    assert len(a.seen.bloom.snapshots()) >= 2  # one per non-empty round
     # one per bootstrap + one per non-empty round (a delayed round writes none)
     assert len(a.frontier.snapshots()) >= 3
     a_dirs = len(os.listdir(a.frontier.path))

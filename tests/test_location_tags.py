@@ -22,6 +22,9 @@ LOCATIONS = [
     "new york usa",
     "Toronto",
     "Bangalore New Delhi",
+    # trailing token of a matched compound also has its own unigram tag
+    # (AMERICA is a continent): the compound tag must win on both tokens
+    "North America",
 ]
 
 
@@ -105,6 +108,15 @@ def test_location_tags_match_reference(spark):
     )
     assert list(got["location"]) == list(want["location"])
     assert [list(t) for t in got["location_tags"]] == [list(t) for t in want["location_tags"]]
+
+
+def test_bigram_trailing_token_keeps_compound_tag(spark):
+    """Reference i+=2 rule: the second token of a matched compound never
+    gets its own unigram lookup (reference src/crawler.py:88-101)."""
+    pdf = pd.DataFrame({"location": ["North America"], "original_index": [0]})
+    dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
+    got = add_location_tags(spark.createDataFrame(pdf), dim, "original_index").collect()[0]
+    assert list(got["location_tags"]) == ["NORTH AMERICA"]
 
 
 def test_bigram_both_tokens_tagged(spark):

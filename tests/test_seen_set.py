@@ -56,6 +56,27 @@ def test_incremental_adds_and_rebuild(spark, tmp_path):
     assert all(b["n_bits"] > 0 for b in blooms)
 
 
+def test_idle_shards_keep_single_bloom_row(spark, tmp_path):
+    """A shard untouched by later rounds must keep exactly ONE bloom row:
+    the cogroup update visits bloom-only shards too, and emitting a row
+    there would duplicate the `untouched` anti-join union every round."""
+    s = SeenSet(str(tmp_path / "seen"), n_shards=2)
+
+    def forged(url, h, shard):
+        return spark.createDataFrame(
+            [(url, h, "x.example.com", shard)],
+            "url string, url_hash long, host string, shard int",
+        )
+
+    s.add(spark, forged("http://x.example.com/0", 11, 0), round_no=0)
+    for rnd in range(1, 4):  # three rounds that only ever touch shard 1
+        s.add(spark, forged(f"http://x.example.com/{rnd}", 100 + rnd, 1), round_no=rnd)
+    rows = s.bloom.read(spark).groupBy("shard").count().collect()
+    assert {r["shard"]: r["count"] for r in rows} == {0: 1, 1: 1}
+    # and probing still sees everything
+    assert s.filter_unseen(spark, forged("http://x.example.com/0", 11, 0)).count() == 0
+
+
 def test_hash_collision_cannot_evict(spark, tmp_path):
     """Two different URLs forced onto the same url_hash: adding one must not
     hide the other (exactness via the (url_hash, url) join)."""
