@@ -64,6 +64,7 @@ IMAGES_LANDED_COLS = [f.name for f in IMAGES.fields] + [
     "depth",
     "priority",
     "partition_id",
+    "user_agent_idx",
 ]
 IMAGES_LANDED = StructType(
     [next(f for f in FETCH_RESULT.fields if f.name == c) for c in IMAGES_LANDED_COLS]

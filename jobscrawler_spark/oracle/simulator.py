@@ -139,6 +139,7 @@ class OracleCrawler:
                         "round": r,
                         "depth": depth,
                         "priority": priority,
+                        "user_agent_idx": FM.user_agent_idx(url, r),
                     }
                 )
                 for raw in FM.outlinks_for(url, depth, self.max_depth):

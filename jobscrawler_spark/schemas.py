@@ -51,6 +51,9 @@ FETCH_RESULT = StructType(
         StructField("depth", IntegerType(), True),
         StructField("priority", DoubleType(), True),
         StructField("partition_id", IntegerType(), True),
+        # UA rotation (reference: src/constants.py:2-18 15-UA pool,
+        # random.choice at src/crawler.py:309 — here (digest + round) % 15)
+        StructField("user_agent_idx", IntegerType(), True),
         StructField("outlinks", ArrayType(StringType()), True),
     ]
 )

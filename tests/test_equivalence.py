@@ -60,11 +60,13 @@ def test_fetch_order_exact(spark, engine, oracle):
 def test_landed_payload_parity(spark, engine, oracle):
     """caption/phash/dims of every landed row match the oracle's."""
     eng_rows = {
-        r["url"]: (r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        r["url"]: (r["w"], r["h"], r["fmt"], r["caption"], r["phash"], r["user_agent_idx"])
         for r in engine.images_df().collect()
     }
     for d in oracle.landed:
-        assert eng_rows[d["url"]] == (d["w"], d["h"], d["fmt"], d["caption"], d["phash"])
+        assert eng_rows[d["url"]] == (
+            d["w"], d["h"], d["fmt"], d["caption"], d["phash"], d["user_agent_idx"],
+        )
 
 
 def test_politeness_never_exceeded(spark, engine, fixtures):
