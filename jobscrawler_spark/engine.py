@@ -2,14 +2,18 @@
 
 Round structure (SURVEY.md §3.1 re-expressed as a Spark dataflow):
 
-    frontier ── eligible(not_before_round <= r)
+    frontier (delta: base ⟕anti tombstones + host-delay events)
+             ── eligible(not_before_round <= r)
              ── politeness budget window (per-host top-k, W4)
              ── salted repartition (skew kill)
              ── mapInPandas fetch (the only non-SQL stage)
              ├─→ images table   (status==200 rows, input_hint shape + lineage)
              ├─→ seen-set add   (ALL fetched URLs — 403s are not refetched)
              ├─→ outlinks: canonicalize → robots gate → dedupe → anti-join
-             │   seen ∪ frontier → new frontier rows (depth+1, round r+1)
+             │   seen ∪ frontier → frontier INSERT delta (depth+1, round r+1)
+             ├─→ frontier REMOVE delta (fetched URLs) + host delay events;
+             │   compaction folds deltas every K rounds (O(round) writes,
+             │   never an O(frontier) rewrite — SCALING.md "Frontier")
              └─→ per-partition metrics row(s)
 
 Dedupe placement: the seen-set anti-join runs at INSERT time (bootstrap and
@@ -44,12 +48,12 @@ from pyspark.sql import functions as F
 from .functions.urls import shard_col, with_canonical
 from .operators.fetch import run_fetch
 from .operators.frontier import (
-    apply_crawl_delay,
     politeness_select,
     robots_gate,
     salted_repartition,
 )
 from .operators.seen_set import SeenSet
+from .plans.delta_frontier import DeltaFrontier
 from .plans.tables import SnapshotTable
 from pyspark.sql.types import StructType
 
@@ -81,22 +85,23 @@ class CrawlEngine:
         max_depth: int = 2,
         fetch_partitions: int | None = None,
         expire_history: bool = False,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.base = base_path
         self.n_shards = n_shards
         self.default_budget = default_budget
         self.max_depth = max_depth
-        # bounded-history mode: after each checkpoint, drop frontier
-        # snapshots made unreachable by the round's overwrite (a long crawl
-        # would otherwise keep one dead frontier copy per round on disk).
-        # Resume only ever rolls back to the LATEST checkpoint, so expiring
+        # bounded-history mode: after each checkpoint, drop snapshots made
+        # unreachable by the latest overwrite of each overwrite-mode table
+        # (a long crawl would otherwise keep dead copies on disk). Resume
+        # only ever rolls back to the LATEST checkpoint, so expiring
         # pre-overwrite history is safe.
         self.expire_history = expire_history
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        self.frontier = SnapshotTable(f"{base_path}/frontier", FRONTIER)
+        self.frontier = DeltaFrontier(f"{base_path}/frontier", compact_every=compact_every)
         self.images = SnapshotTable(f"{base_path}/images", IMAGES_LANDED)
         self.metrics = SnapshotTable(f"{base_path}/metrics", ROUND_METRICS)
         self.seen = SeenSet(base_path, n_shards)
@@ -146,15 +151,25 @@ class CrawlEngine:
             .withColumn("attempts", F.lit(0))
             .select([f.name for f in FRONTIER.fields])
         )
-        self.frontier.overwrite(rows, meta={"stage": "bootstrap"})
+        self.frontier.bootstrap(self.spark, rows)
         self.next_round = 0
         self._commit_checkpoint()
+
+    def _has_delays(self) -> bool:
+        """Cached once per engine: whether ANY host has a crawl delay — when
+        none do (common in benchmarks) the per-round pushback stage is
+        skipped entirely (the politeness dim is tiny, one limit-1 scan)."""
+        if getattr(self, "_any_delays", None) is None:
+            self._any_delays = (
+                self._politeness().filter(F.col("crawl_delay_rounds") > 0).limit(1).count() > 0
+            )
+        return self._any_delays
 
     # ----------------------------------------------------------- round loop
     def run_round(self) -> dict:
         r = self.next_round
         t0 = time.monotonic()
-        frontier_snap = self.frontier.current_snapshot
+        frontier_snap = self.frontier.version()
         frontier_df = self.frontier.read(self.spark)
 
         eligible = frontier_df.filter(F.col("not_before_round") <= r)
@@ -221,6 +236,8 @@ class CrawlEngine:
         # cogroup — url determines shard, so it is shard-local
         links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
 
+        # within-frontier dedupe: a link already pending must not re-enter
+        # (fetched URLs are already excluded — they just entered the seen set)
         remaining = frontier_df.join(
             fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
         )
@@ -231,19 +248,9 @@ class CrawlEngine:
             .select([f.name for f in FRONTIER.fields])
         )
 
-        # 4. crawl-delay pushback for hosts fetched this round
-        delayed_hosts = (
-            fetched.select("host")
-            .distinct()
-            .join(self._politeness().filter(F.col("crawl_delay_rounds") > 0), "host")
-            .select("host", "crawl_delay_rounds")
-        )
-        remaining = apply_crawl_delay(remaining, delayed_hosts, r)
-
-        next_frontier = remaining.unionByName(new_rows)
-
-        # 5. per-partition lineage + metrics (independent of the frontier
-        # write; runs concurrently with it)
+        # 4+5. delta-frontier writes (tombstones for fetched URLs, host-level
+        # crawl-delay events, new-row inserts) + metrics — four independent
+        # small appends, each O(round size); run concurrently
         part_metrics = (
             fetched.groupBy("partition_id")
             .agg(
@@ -259,11 +266,23 @@ class CrawlEngine:
             .select([f.name for f in ROUND_METRICS.fields])
             .coalesce(1)
         )
-        with ThreadPoolExecutor(2) as ex:
-            f_frontier = ex.submit(self.frontier.overwrite, next_frontier, {"round": r})
-            f_metrics = ex.submit(self.metrics.append, part_metrics, {"round": r})
-            f_frontier.result()
-            f_metrics.result()
+        jobs = [
+            lambda: self.frontier.remove(fetched, r),
+            lambda: self.frontier.insert(new_rows, r),
+            lambda: self.metrics.append(part_metrics, {"round": r}),
+        ]
+        if self._has_delays():
+            delayed_hosts = (
+                fetched.select("host")
+                .distinct()
+                .join(self._politeness().filter(F.col("crawl_delay_rounds") > 0), "host")
+                .select("host", "crawl_delay_rounds")
+            )
+            jobs.append(lambda: self.frontier.delay_hosts(delayed_hosts, r))
+        with ThreadPoolExecutor(len(jobs)) as ex:
+            for f in [ex.submit(j) for j in jobs]:
+                f.result()
+        self.frontier.maybe_compact(self.spark, r)
         t_frontier = time.monotonic()
 
         stats = {
@@ -286,11 +305,10 @@ class CrawlEngine:
         self.next_round = r + 1
         self._commit_checkpoint()
         if self.expire_history:
-            # every write to these tables is an overwrite, so anything older
-            # than the just-checkpointed snapshot is unreachable; resume only
-            # ever rolls back to the LATEST checkpoint, so expiry is safe
-            if self.frontier.current_snapshot is not None:
-                self.frontier.expire_before(self.frontier.current_snapshot)
+            # drop snapshots unreachable since each table's last overwrite
+            # (frontier compaction / bloom fold); resume only ever rolls back
+            # to the LATEST checkpoint, so expiry is safe
+            self.frontier.expire_history()
             if self.seen.bloom.current_snapshot is not None:
                 self.seen.bloom.expire_before(self.seen.bloom.current_snapshot)
         return stats
@@ -307,7 +325,7 @@ class CrawlEngine:
         return out
 
     def frontier_size(self) -> int:
-        if self.frontier.current_snapshot is None:
+        if self.frontier.rows.current_snapshot is None:
             return 0
         return self.frontier.read(self.spark).count()
 
@@ -318,7 +336,7 @@ class CrawlEngine:
     def _commit_checkpoint(self) -> None:
         state = {
             "next_round": self.next_round,
-            "frontier": self.frontier.current_snapshot,
+            "frontier": self.frontier.state(),
             "images": self.images.current_snapshot,
             "metrics": self.metrics.current_snapshot,
             "seen": self.seen.seen.current_snapshot,
@@ -336,7 +354,7 @@ class CrawlEngine:
         eng = cls(spark, base_path, **kwargs)
         with open(eng._ckpt_path()) as f:
             state = json.load(f)
-        eng.frontier.rollback_to(state["frontier"])
+        eng.frontier.rollback_to(state["frontier"])  # dict of 3 table ids
         eng.images.rollback_to(state["images"])
         eng.metrics.rollback_to(state["metrics"])
         eng.seen.seen.rollback_to(state["seen"])

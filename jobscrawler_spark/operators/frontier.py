@@ -105,25 +105,6 @@ def salted_repartition(selected: DataFrame, n_partitions: int) -> DataFrame:
     )
 
 
-def apply_crawl_delay(
-    remaining: DataFrame,
-    fetched_hosts: DataFrame,
-    round_no: int,
-) -> DataFrame:
-    """Push back remaining frontier rows of hosts fetched this round.
-
-    ``fetched_hosts``: (host, crawl_delay_rounds>0). A delay of d means the
-    host's next eligible round is round_no + 1 + d.
-    """
-    bumped = F.lit(round_no + 1) + F.col("crawl_delay_rounds")
-    return (
-        remaining.join(F.broadcast(fetched_hosts), "host", "left")
-        .withColumn(
-            "not_before_round",
-            F.when(
-                F.col("crawl_delay_rounds").isNotNull(),
-                F.greatest(F.col("not_before_round"), bumped),
-            ).otherwise(F.col("not_before_round")),
-        )
-        .drop("crawl_delay_rounds")
-    )
+# crawl-delay pushback lives in plans.delta_frontier (host-level delay
+# events folded in at read time) — rewriting the affected rows here would
+# reintroduce the O(frontier) per-round write the delta frontier removes.

@@ -74,6 +74,30 @@ FRONTIER = StructType(
     ]
 )
 
+# Delta-frontier state (SCALING.md "Frontier" section): the stored rows
+# carry the round they were inserted in (`added_in`) so host-level delay
+# events can be applied to exactly the rows that existed when the event
+# fired; removals are per-round tombstones; both fold away at compaction.
+FRONTIER_STORED = StructType(
+    list(FRONTIER.fields) + [StructField("added_in", IntegerType(), False)]
+)
+
+FRONTIER_RM = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("removed_in", IntegerType(), False),
+    ]
+)
+
+FRONTIER_DELAY = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("event_round", IntegerType(), False),
+        StructField("until", IntegerType(), False),
+    ]
+)
+
 SEEN_SET = StructType(
     [
         StructField("url_hash", LongType(), False),

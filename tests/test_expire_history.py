@@ -1,5 +1,6 @@
-"""Bounded-history mode: frontier snapshots unreachable after a round's
-overwrite are expired, results unchanged, resume still works."""
+"""Bounded-history mode: snapshots unreachable after the latest overwrite
+(frontier compaction, bloom fold) are expired, results unchanged, resume
+still works."""
 
 import os
 
@@ -15,7 +16,10 @@ def test_expire_history_bounds_disk_and_preserves_results(spark, tmp_path):
     a.bootstrap(seeds, pol, rob)
     a.run(3)
 
-    b = CrawlEngine(spark, str(tmp_path / "b"), n_shards=4, max_depth=1, expire_history=True)
+    b = CrawlEngine(
+        spark, str(tmp_path / "b"), n_shards=4, max_depth=1,
+        expire_history=True, compact_every=2,
+    )
     b.bootstrap(seeds, pol, rob)
     b.run(3)
 
@@ -24,20 +28,21 @@ def test_expire_history_bounds_disk_and_preserves_results(spark, tmp_path):
     sb = {r["url"] for r in b.seen.all_urls(spark).collect()}
     assert sa == sb
 
-    # bounded history: exactly one live frontier snapshot vs one per round
-    assert len(b.frontier.snapshots()) == 1
-    # the bloom table is overwrite-per-round too — it must be bounded as well
+    # bounded history: expiry keeps only snapshots since the last overwrite
+    # (the round-1 compaction); without it, bootstrap + one append per
+    # non-empty round stay live
+    assert len(b.frontier.rows.snapshots()) == 1
+    assert len(a.frontier.rows.snapshots()) >= 3
+    # the bloom table is overwrite-per-round — bounded too
     assert len(b.seen.bloom.snapshots()) == 1
     assert len(a.seen.bloom.snapshots()) >= 2  # one per non-empty round
-    # one per bootstrap + one per non-empty round (a delayed round writes none)
-    assert len(a.frontier.snapshots()) >= 3
-    a_dirs = len(os.listdir(a.frontier.path))
-    b_dirs = len(os.listdir(b.frontier.path))
+    a_dirs = len(os.listdir(a.frontier.rows.path))
+    b_dirs = len(os.listdir(b.frontier.rows.path))
     assert b_dirs < a_dirs
 
-    # resume still works after expiry
+    # resume still works after expiry + compaction
     b2 = CrawlEngine.resume(spark, str(tmp_path / "b"), n_shards=4, max_depth=1,
-                            expire_history=True)
+                            expire_history=True, compact_every=2)
     assert b2.next_round == 3
     b2.run(1)
     a.run(1)
