@@ -257,6 +257,92 @@ def q_u_intersect_except(spark, sf):
     return viewers.intersect(clickers).exceptAll(buyers).select("user_id")
 
 
+def q_p1_selector_config(spark, sf):
+    """P1/S7 with CONFIG-DRIVEN selector paths (reference Bs4ElementPath,
+    src/models.py:40-54 / async_bs4.py:139-171): two sites with DIFFERENT
+    selectors parse in one pass; selectors resolve per row from the config
+    dim. Oracle: the same fixtures inlined as VALUES + DuckDB's per-row
+    regexp extraction."""
+    from jobscrawler_spark.generators import gen_payload_bodies, gen_site_configs
+    from jobscrawler_spark.schemas import PAYLOADS, SITE_CONFIGS
+    from jobscrawler_spark.sources.strategies import parse_bs4_main
+
+    cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
+    pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
+    return parse_bs4_main(cfg, pl).select(
+        "config_idx", "page", "pos", "title", "link", "description", "location"
+    )
+
+
+def _p1_selector_oracle() -> str:
+    """DuckDB replica of parse_bs4_main over the same fixture data, built
+    from the generators so the VALUES literals can never drift."""
+    import pandas as _pd
+
+    from jobscrawler_spark.generators import gen_payload_bodies, gen_site_configs
+    from jobscrawler_spark.sources.strategies import P_DESC, P_JOB, P_LINK, P_LOC, P_TITLE
+
+    def q(s) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    def qn(s) -> str:
+        return "NULL" if s is None or (isinstance(s, float) and _pd.isna(s)) else q(s)
+
+    cfgs = gen_site_configs()
+    bs4 = cfgs[(cfgs.source_kind == "bs4") & (cfgs.strategy == "main")]
+    pls = gen_payload_bodies(cfgs)
+    cfg_rows = ",\n".join(
+        f"({int(r.config_idx)}, {q(r['name'])}, {q(r.url)}, {int(r.pages_to_crawl)}, "
+        f"{int(r.start_point)}, {qn(r.sel_job)}, {qn(r.sel_title)}, {qn(r.sel_link)}, "
+        f"{qn(r.sel_loc)}, {qn(r.sel_desc)})"
+        for _, r in bs4.iterrows()
+    )
+    pl_rows = ",\n".join(
+        f"({q(r.url)}, {int(r.status)}, {q(r.body)})"
+        for _, r in pls.iterrows()
+        if r.content_kind == "html"
+    )
+    return f"""
+        WITH cfg(config_idx, name, url, pages_to_crawl, start_point,
+                 sel_job, sel_title, sel_link, sel_loc, sel_desc) AS (
+          VALUES {cfg_rows}),
+        pl(url, status, body) AS (VALUES {pl_rows}),
+        pages AS (
+          SELECT c.*, CAST(p.p AS INT) AS page,
+                 c.url || CAST(p.p AS VARCHAR) AS fetch_url
+          FROM cfg c JOIN (SELECT unnest(generate_series(1, 10)) AS p) p
+            ON p.p BETWEEN c.start_point AND c.pages_to_crawl),
+        src AS (
+          SELECT pages.*, pl.body FROM pages
+          JOIN pl ON pl.url = pages.fetch_url AND pl.status = 200),
+        withjobs AS (
+          SELECT config_idx, page, name, sel_title, sel_link, sel_loc, sel_desc,
+                 regexp_extract_all(body, coalesce(sel_job, {q(P_JOB)}), 1) AS jl
+          FROM src),
+        ex AS (
+          SELECT config_idx, page, name, sel_title, sel_link, sel_loc, sel_desc,
+                 CAST(generate_subscripts(jl, 1) - 1 AS INT) AS pos,
+                 jl[generate_subscripts(jl, 1)] AS job
+          FROM withjobs),
+        fields AS (
+          SELECT config_idx, page, pos, name,
+                 coalesce(regexp_extract(job, coalesce(sel_title, {q(P_TITLE)}), 1), '') AS title,
+                 coalesce(regexp_extract(job, coalesce(sel_link, {q(P_LINK)}), 1), '') AS href,
+                 coalesce(regexp_extract(job, coalesce(sel_desc, {q(P_DESC)}), 1), '') AS description,
+                 coalesce(regexp_extract(job, coalesce(sel_loc, {q(P_LOC)}), 1), '') AS location
+          FROM ex),
+        bad AS (SELECT DISTINCT config_idx, page FROM fields WHERE title = '' OR href = ''),
+        good AS (
+          SELECT f.* FROM fields f
+          ANTI JOIN bad b ON f.config_idx = b.config_idx AND f.page = b.page)
+        SELECT config_idx, page, pos, title,
+               name || href AS link,
+               CASE WHEN description = '' THEN 'NaN' ELSE description END AS description,
+               CASE WHEN location = '' THEN 'NaN' ELSE location END AS location
+        FROM good
+    """
+
+
 def q_j4_positional_join(spark, sf):
     """J4: positional explode (zip semantics) — (doc_id, pos, token)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
@@ -339,6 +425,20 @@ def q_f15_embed_wrap(spark, sf):
 # --- training-data ops ------------------------------------------------------
 
 
+def q_f16_truncate_tokens(spark, sf):
+    """F16: truncate-at-N-tokens (the reference's 1000-token embedding cap,
+    e5_base_v2_utils.py:37-56) — N=40 here so the boundary is exercised on
+    the fixture docs (most have ~54 tokens)."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.truncate_tokens(t, 40).alias("truncated"),
+        F.least(T.token_count(t), F.lit(40)).alias("n_tokens_after"),
+        (T.token_count(t) > 40).alias("was_truncated"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     return D.exact_duplicates(_t(spark, sf, "documents")).select(
         "content_hash", "n_docs", "doc_ids"
@@ -398,8 +498,20 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
+    """IVF with multi-probe (nprobe=2): the query scans its two nearest
+    inverted lists — recall doubles for 2/8 of the scan."""
     e = _t(spark, sf, "embeddings")
-    return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, n_centroids=8)
+    return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, n_centroids=8, nprobe=2)
+
+
+def q_ann_ivf_kmeans(spark, sf):
+    """IVF with a Lloyd-refined codebook trained on a deterministic sample
+    (the scale path: train on sample, broadcast codebook). Not
+    SQL-expressible (iterative k-means); recall-vs-exact is asserted in
+    tests/test_dedupe.py. Rows-only check."""
+    e = _t(spark, sf, "embeddings")
+    cents = SIM.kmeans_codebook(spark, e, n_centroids=8, iters=10)
+    return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, centroids=cents)
 
 
 def q_multimodal_features(spark, sf):
@@ -534,9 +646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u_union_sources": q_u_union_sources,
         "j4_positional_join": q_j4_positional_join,
         "u_intersect_except": q_u_intersect_except,
+        "p1_selector_config": q_p1_selector_config,
         "w_window_time_agg": q_w_window_time_agg,
         "f15_embed_wrap": q_f15_embed_wrap,
         "w_sessionize": q_w_sessionize,
+        "f16_truncate_tokens": q_f16_truncate_tokens,
         "a_percentiles": q_a_percentiles,
         "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
@@ -548,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
         "text_features": q_text_features,
         "text_lang_id": q_text_lang_id,
@@ -641,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1
         """,
         "a5_distinct": "SELECT DISTINCT lang, source FROM documents",
+        "p1_selector_config": _p1_selector_oracle(),
         # DuckDB sum() returns HUGEINT — cast to BIGINT to match Spark's
         # long (CLAUDE.md rule); token split filters empties to match
         # text.token_count exactly (0 for empty/whitespace-only docs)
@@ -651,6 +767,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN len(list_filter({_TOK}, t -> t <> '')) > 50
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+        """,
+        "f16_truncate_tokens": f"""
+            SELECT doc_id,
+                   array_to_string(list_filter({_TOK}, t -> t <> '')[1:40], ' ') AS truncated,
+                   CAST(least(len(list_filter({_TOK}, t -> t <> '')), 40) AS INT) AS n_tokens_after,
+                   len(list_filter({_TOK}, t -> t <> '')) > 40 AS was_truncated
             FROM documents
         """,
         "a7_token_frequency": f"""
@@ -769,10 +892,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 120),
-            grams AS (
+            grams0 AS (
               SELECT DISTINCT doc_id, z[1] || ' ' || z[2] AS gram
               FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS z FROM toks)
               WHERE z[2] IS NOT NULL),
+            -- document-frequency cap 64, mirroring ngram_jaccard_pairs
+            rare AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 64),
+            grams AS (SELECT g.* FROM grams0 g JOIN rare USING (gram)),
             sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -815,15 +941,16 @@ def oracle_sql() -> dict[str, str]:
             WITH cents AS (
               SELECT vec_id AS centroid_id, embedding AS c
               FROM embeddings ORDER BY vec_id LIMIT 8),
-            assign AS (
-              SELECT vec_id, embedding, centroid_id FROM (
-                SELECT e.vec_id, e.embedding, c.centroid_id,
-                       row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])))), 6) DESC, c.centroid_id) AS rn
-                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])))), 6) DESC, c.centroid_id) AS rn
+              FROM embeddings e CROSS JOIN cents c),
+            assign AS (SELECT vec_id, embedding, centroid_id FROM scored WHERE rn = 1),
+            -- query side multi-probes its 2 nearest centroids (nprobe=2)
             q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
-                  FROM assign WHERE vec_id < 5),
+                  FROM scored WHERE vec_id < 5 AND rn <= 2),
             sims AS (
               SELECT q.query_id, a.vec_id,
                      round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS sim

@@ -93,6 +93,17 @@ def embed_wrap_fields(title: Column, description: Column, location: Column) -> C
     )
 
 
+def embed_prepare(
+    title: Column, description: Column, location: Column, max_tokens: int = 1000
+) -> Column:
+    """F14+F15+F16: cleanup -> wrap -> truncate at ``max_tokens``, the full
+    embedding-text prep chain (the reference truncates the WRAPPED text at
+    1000 tokens, embed_latest_crawled_data.py:84-132)."""
+    from .text import truncate_tokens
+
+    return truncate_tokens(embed_wrap_fields(title, description, location), max_tokens)
+
+
 def nan_fill(col: Column) -> Column:
     """F11: the literal "NaN" as universal null."""
     return F.coalesce(col, F.lit("NaN"))

@@ -34,6 +34,15 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+def truncate_tokens(text: Column, max_tokens: int) -> Column:
+    """F16: truncate to the first ``max_tokens`` tokens and rejoin — the
+    reference truncates embedding text at 1000 tiktoken tokens (reference:
+    src/embeddings/e5_base_v2_utils.py:37-56 truncate_text_tokens_optimized,
+    applied at embed_latest_crawled_data.py:84-132). Whitespace tokens here
+    (same proxy as token_count); pure Catalyst."""
+    return F.array_join(F.slice(tokens_col(text), 1, max_tokens), " ")
+
+
 def subtoken_count(text: Column) -> Column:
     """BPE-ish sub-token count: alpha runs, digit runs, single punctuation —
     a cheap deterministic proxy for a real tokenizer (F16)."""

@@ -149,9 +149,29 @@ def gen_images(n: int = 512, seed: int = 42) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# the custom-selector fixture site (reference: per-site Bs4ElementPath,
+# src/models.py:40-54 — adding a site is a DATA change, no code)
+CUSTOM_BS4_SELECTORS = {
+    "sel_job": r'<article class="posting">(.*?)</article>',
+    "sel_title": r'<h3 class="role">(.*?)</h3>',
+    "sel_link": r'<a href="(.*?)" class="go">',
+    "sel_loc": r'<em class="where">(.*?)</em>',
+    "sel_desc": r'<section class="about">(.*?)</section>',
+}
+CUSTOM_API_TAGS = {
+    "tag_title": "position",
+    "tag_link": "url",
+    "tag_desc": "summary",
+    "tag_loc": "city",
+}
+_NO_SELECTORS = {k: None for k in list(CUSTOM_BS4_SELECTORS) + list(CUSTOM_API_TAGS)}
+
+
 def gen_site_configs() -> pd.DataFrame:
-    """9 sites: 3 bs4 (main/container), 3 api (dict/list), 3 rss —
-    mirroring the reference's test config files (bs4_test.json etc.)."""
+    """11 sites: 3 bs4 (main/container), 3 api (dict/list), 3 rss —
+    mirroring the reference's test config files (bs4_test.json etc.) —
+    plus one bs4 site with CUSTOM selector paths and one api site with
+    CUSTOM JSON-tag paths, proving new sites are pure config data."""
     rows = []
     idx = 0
     for strategy in ("main", "container", "main"):
@@ -166,6 +186,7 @@ def gen_site_configs() -> pd.DataFrame:
                 "follow_link": "no",
                 "inner_link_tag": "div.desc",
                 "config_idx": idx,
+                **_NO_SELECTORS,
             }
         )
         idx += 1
@@ -181,6 +202,7 @@ def gen_site_configs() -> pd.DataFrame:
                 "follow_link": "no",
                 "inner_link_tag": "",
                 "config_idx": idx,
+                **_NO_SELECTORS,
             }
         )
         idx += 1
@@ -196,10 +218,54 @@ def gen_site_configs() -> pd.DataFrame:
                 "follow_link": "no",
                 "inner_link_tag": "",
                 "config_idx": idx,
+                **_NO_SELECTORS,
             }
         )
         idx += 1
+    rows.append(
+        {
+            "name": f"https://custom-{idx}.example.com",
+            "source_kind": "bs4",
+            "strategy": "main",
+            "url": f"https://custom-{idx}.example.com/roles?p=",
+            "pages_to_crawl": 2,
+            "start_point": 1,
+            "follow_link": "no",
+            "inner_link_tag": "",
+            "config_idx": idx,
+            **_NO_SELECTORS,
+            **CUSTOM_BS4_SELECTORS,
+        }
+    )
+    idx += 1
+    rows.append(
+        {
+            "name": f"https://capi-{idx}.example.com",
+            "source_kind": "api",
+            "strategy": "list",
+            "url": f"https://capi-{idx}.example.com/v2/roles",
+            "pages_to_crawl": 1,
+            "start_point": 1,
+            "follow_link": "no",
+            "inner_link_tag": "",
+            "config_idx": idx,
+            **_NO_SELECTORS,
+            **CUSTOM_API_TAGS,
+        }
+    )
+    idx += 1
     return pd.DataFrame(rows)
+
+
+def _html_job_custom(i: int, with_loc: bool = True) -> str:
+    """Job element in the CUSTOM_BS4_SELECTORS shape (different tag/class
+    structure AND attribute order than the default fixture site)."""
+    loc = f'<em class="where">City{i % 7} Country{i % 5}</em>' if with_loc else ""
+    return (
+        f'<article class="posting"><h3 class="role">Custom Engineer {i}</h3>'
+        f'<a href="/cj/{i}" class="go">go</a>{loc}'
+        f'<section class="about">Custom about {i} text</section></article>'
+    )
 
 
 def _html_job(i: int, site: str, with_loc: bool = True, rel: bool = True) -> str:
@@ -221,9 +287,20 @@ def gen_payload_bodies(configs: pd.DataFrame, jobs_per_page: int = 5) -> pd.Data
     """
     rows = []
     for _, cfg in configs.iterrows():
+        custom = pd.notna(cfg.get("sel_job")) or pd.notna(cfg.get("tag_title"))
         if cfg.source_kind == "bs4":
             for page in range(int(cfg.start_point), int(cfg.pages_to_crawl) + 1):
                 url = f"{cfg.url}{page}"
+                if custom:
+                    n = jobs_per_page - 1
+                    body = "<html><main>" + "".join(
+                        _html_job_custom(page * 100 + i, with_loc=(i % 3 != 2))
+                        for i in range(n)
+                    ) + "</main></html>"
+                    rows.append(
+                        {"url": url, "status": 200, "body": body, "content_kind": "html"}
+                    )
+                    continue
                 n = jobs_per_page if cfg.strategy == "main" else jobs_per_page + 1
                 jobs = [
                     _html_job(page * 100 + i, cfg["name"], with_loc=(i % 3 != 2))
@@ -245,16 +322,23 @@ def gen_payload_bodies(configs: pd.DataFrame, jobs_per_page: int = 5) -> pd.Data
                     body = "<html><body>" + "".join(jobs) + "</body></html>"
                 rows.append({"url": url, "status": 200, "body": body, "content_kind": "html"})
         elif cfg.source_kind == "api":
+            # JSON tags are config data (reference async_api.py:19-27):
+            # the custom api site serves a payload under its OWN tag names
+            t = (cfg.get("tag_title"), cfg.get("tag_link"), cfg.get("tag_desc"),
+                 cfg.get("tag_loc")) if custom else (None,) * 4
+            k_title, k_link, k_desc, k_loc = (
+                t[0] or "titleF", t[1] or "linkF", t[2] or "descF", t[3] or "locF"
+            )
             jobs = []
             for i in range(jobs_per_page):
                 job = {
-                    "titleF": f"API Role {i}",
-                    "linkF": f"{cfg['name']}/api-job/{i}",
-                    "descF": f"api description {i}",
-                    "locF": "" if i % 3 == 1 else f"Place{i}",  # falsy -> default
+                    k_title: f"API Role {i}",
+                    k_link: f"{cfg['name']}/api-job/{i}",
+                    k_desc: f"api description {i}",
+                    k_loc: "" if i % 3 == 1 else f"Place{i}",  # falsy -> default
                 }
                 if i % 4 == 3:
-                    job.pop("descF")  # missing -> "NaN"
+                    job.pop(k_desc)  # missing -> "NaN"
                 jobs.append(job)
             payload = {"data": jobs} if cfg.strategy == "dict" else jobs
             rows.append(

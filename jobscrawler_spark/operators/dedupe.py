@@ -186,10 +186,26 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.4,
+    max_doc_freq: int | None = 64,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs over the threshold, candidates
-    enumerated via the shared-bigram equi-join (never all-pairs)."""
+    enumerated via the shared-bigram equi-join (never all-pairs).
+
+    ``max_doc_freq`` drops grams appearing in more than that many docs
+    BEFORE the self-join: a stop-gram ("of the") shared by 10^6 docs would
+    otherwise create a 10^12-row bucket at 100 TB. Jaccard is then defined
+    over the capped gram universe (sizes computed after the cap) — the
+    standard stop-gram-removal semantics, mirrored exactly by the oracle.
+    """
     grams = shingles_df(docs, text_col, n).withColumnRenamed("shingle", "gram")
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")

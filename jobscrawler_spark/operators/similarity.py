@@ -98,10 +98,12 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
     )
 
 
-def ivf_assign(vectors: DataFrame, cents: DataFrame,
+def ivf_assign(vectors: DataFrame, cents: DataFrame, nprobe: int = 1,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Assign each vector to its argmax-cosine centroid (ties -> lowest
-    centroid id). Returns (id, _v, _nv, centroid_id)."""
+    """Assign each vector to its ``nprobe`` argmax-cosine centroids (ties ->
+    lowest centroid id). Returns (id, _v, _nv, centroid_id), one row per
+    probed centroid; data vectors use nprobe=1, query-side multi-probe
+    trades scan fraction for recall."""
     base = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
     )
@@ -115,9 +117,52 @@ def ivf_assign(vectors: DataFrame, cents: DataFrame,
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(id_col, "_v", "_nv", "centroid_id")
     )
+
+
+def kmeans_codebook(
+    spark,
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 10,
+    sample_n: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd-refined IVF codebook, trained driver-side on a
+    DETERMINISTIC sample (the ``sample_n`` lowest ids) — the standard
+    IVF practice at 100 TB: train the codebook on a sample, broadcast it.
+
+    Determinism contract: init = first n_centroids sample vectors, cosine
+    assignment on similarities rounded to 6 decimals (ties -> lowest
+    centroid), means computed in fixed row order via numpy (einsum, no
+    BLAS-order variance), centroids re-normalized and rounded to 6 decimals
+    each iteration — bit-identical across processes.
+    """
+    import numpy as np
+
+    pdf = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
+    )
+    V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = Vn[:n_centroids].copy()
+    for _ in range(iters):
+        sims = np.round(np.einsum("nd,kd->nk", Vn, C), 6)
+        assign = sims.argmax(axis=1)  # argmax takes the FIRST max: lowest id
+        C = np.stack(
+            [
+                Vn[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                for j in range(n_centroids)
+            ]
+        )
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        C = np.round(C, 6)
+    rows = [(j, [float(x) for x in C[j]]) for j in range(n_centroids)]
+    df = spark.createDataFrame(rows, f"centroid_id int, _c array<double>")
+    return df.select("centroid_id", "_c", _norm(F.col("_c")).alias("_nc"))
 
 
 def ivf_topk(
@@ -125,19 +170,26 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 8,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-style approximate top-k: probe only the query's nearest
-    centroid's inverted list (codebook built from the embeddings side).
+    """IVF-style approximate top-k: probe only the query's ``nprobe``
+    nearest centroids' inverted lists (codebook = deterministic first-N,
+    or pass ``centroids`` from kmeans_codebook for the refined one).
     At scale the embeddings table is written partitioned by centroid_id
     (partition pruning on probe)."""
-    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
-    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    )
+    assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col)
     q = queries.select(
         F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col)
     )
-    q_assigned = ivf_assign(q, cents, vec_col, id_col).select(
+    q_assigned = ivf_assign(q, cents, nprobe, vec_col, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_q"),
         F.col("_nv").alias("_nq"),

@@ -165,6 +165,10 @@ JOBS = StructType(
 )
 
 # Site-config dimension (reference: src/models.py:57-87 dataclasses).
+# Per-site selector paths are DATA, exactly like the reference's
+# Bs4ElementPath (5 CSS selectors per site, src/models.py:40-54, used at
+# src/crawlers/async_bs4.py:139-171) and the API JSON-tag paths
+# (src/crawlers/async_api.py:19-27): null -> the engine's default patterns.
 SITE_CONFIGS = StructType(
     [
         StructField("name", StringType(), False),
@@ -176,6 +180,17 @@ SITE_CONFIGS = StructType(
         StructField("follow_link", StringType(), True),
         StructField("inner_link_tag", StringType(), True),
         StructField("config_idx", IntegerType(), True),  # config-file order (quirk 7)
+        # bs4 element paths (regex with one capture group each)
+        StructField("sel_job", StringType(), True),
+        StructField("sel_title", StringType(), True),
+        StructField("sel_link", StringType(), True),
+        StructField("sel_loc", StringType(), True),
+        StructField("sel_desc", StringType(), True),
+        # api JSON-tag paths
+        StructField("tag_title", StringType(), True),
+        StructField("tag_link", StringType(), True),
+        StructField("tag_desc", StringType(), True),
+        StructField("tag_loc", StringType(), True),
     ]
 )
 

@@ -35,14 +35,45 @@ from pyspark.sql import functions as F
 
 JOB_COLS = ["config_idx", "page", "pos", "title", "link", "description", "location", "source_kind"]
 
-# fixture selector patterns (the generator's HTML shapes; per-site custom
-# selectors would live in the config dim exactly like these defaults)
+# DEFAULT selector patterns; each site may override them in the config dim
+# (SITE_CONFIGS.sel_* / tag_* columns), mirroring the reference's per-site
+# Bs4ElementPath (src/models.py:40-54) and API tag paths
+# (src/crawlers/async_api.py:19-27). Selector resolution is per ROW
+# (coalesce(config column, default)), so sites with different selectors
+# parse in ONE pass — no per-site code. Rows arrive grouped by site, so
+# Spark's regex cache (keyed on the last-seen pattern) stays warm.
 P_JOB = r'<div class="job">(.*?)</div>'
 P_TITLE = r'<h2 class="title">(.*?)</h2>'
 P_LINK = r'<a class="lnk" href="(.*?)"'
 P_LOC = r'<span class="loc">(.*?)</span>'
 P_DESC = r'<p class="desc">(.*?)</p>'
 P_ITEM = r"(?s)<item>(.*?)</item>"
+
+SELECTOR_COLS = ["sel_job", "sel_title", "sel_link", "sel_loc", "sel_desc"]
+TAG_COLS = ["tag_title", "tag_link", "tag_desc", "tag_loc"]
+
+
+def _with_selector_cols(configs: DataFrame) -> DataFrame:
+    """Ensure the per-site selector/tag columns exist (null = defaults) so
+    callers with minimal configs keep working."""
+    for c in SELECTOR_COLS + TAG_COLS:
+        if c not in configs.columns:
+            configs = configs.withColumn(c, F.lit(None).cast("string"))
+    return configs
+
+
+def _sel(name: str, default: str):
+    return F.coalesce(F.col(name), F.lit(default))
+
+
+def _rex1(col, pattern_col):
+    """regexp_extract(col, pat, 1) for a COLUMN pattern (regexp_extract only
+    takes literal patterns; regexp_extract_all takes columns). Matches
+    regexp_extract's no-match contract: '' instead of null."""
+    # F.get (not getItem): ANSI mode throws on out-of-bounds index
+    return F.coalesce(
+        F.get(F.regexp_extract_all(col, pattern_col, 1), 0), F.lit("")
+    )
 
 
 def _nan_if_empty(col):
@@ -73,22 +104,28 @@ def parse_bs4_main(configs: DataFrame, payloads: DataFrame) -> DataFrame:
     page (reference ValueError, async_bs4.py:140-150); missing
     description/location -> "NaN"."""
     src = _with_bodies(
-        configs.filter((F.col("source_kind") == "bs4") & (F.col("strategy") == "main")), payloads
+        _with_selector_cols(configs).filter(
+            (F.col("source_kind") == "bs4") & (F.col("strategy") == "main")
+        ),
+        payloads,
     )
     jobs = src.select(
         "config_idx",
         "page",
         "name",
-        F.posexplode(F.regexp_extract_all(F.col("body"), F.lit(P_JOB), 1)).alias("pos", "job"),
+        *SELECTOR_COLS,
+        F.posexplode(
+            F.regexp_extract_all(F.col("body"), _sel("sel_job", P_JOB), 1)
+        ).alias("pos", "job"),
     )
     fields = jobs.select(
         "config_idx",
         "page",
         "pos",
-        F.regexp_extract("job", P_TITLE, 1).alias("title"),
-        F.regexp_extract("job", P_LINK, 1).alias("href"),
-        F.regexp_extract("job", P_DESC, 1).alias("description"),
-        F.regexp_extract("job", P_LOC, 1).alias("location"),
+        _rex1(F.col("job"), _sel("sel_title", P_TITLE)).alias("title"),
+        _rex1(F.col("job"), _sel("sel_link", P_LINK)).alias("href"),
+        _rex1(F.col("job"), _sel("sel_desc", P_DESC)).alias("description"),
+        _rex1(F.col("job"), _sel("sel_loc", P_LOC)).alias("location"),
         "name",
     )
     # page-level abort: any job with missing title/link kills the page
@@ -114,17 +151,19 @@ def parse_bs4_container(configs: DataFrame, payloads: DataFrame) -> DataFrame:
     """P2/J4: four parallel element lists zipped positionally, truncating to
     the shortest (inner join on pos reproduces the reference's zip)."""
     src = _with_bodies(
-        configs.filter((F.col("source_kind") == "bs4") & (F.col("strategy") == "container")),
+        _with_selector_cols(configs).filter(
+            (F.col("source_kind") == "bs4") & (F.col("strategy") == "container")
+        ),
         payloads,
     )
     base = src.select(
         "config_idx",
         "page",
         "name",
-        F.regexp_extract_all("body", F.lit(P_TITLE), 1).alias("titles"),
-        F.regexp_extract_all("body", F.lit(P_LINK), 1).alias("links"),
-        F.regexp_extract_all("body", F.lit(P_DESC), 1).alias("descs"),
-        F.regexp_extract_all("body", F.lit(P_LOC), 1).alias("locs"),
+        F.regexp_extract_all("body", _sel("sel_title", P_TITLE), 1).alias("titles"),
+        F.regexp_extract_all("body", _sel("sel_link", P_LINK), 1).alias("links"),
+        F.regexp_extract_all("body", _sel("sel_desc", P_DESC), 1).alias("descs"),
+        F.regexp_extract_all("body", _sel("sel_loc", P_LOC), 1).alias("locs"),
     )
     # all-or-nothing: any empty required list aborts the page (quirk 4)
     base = base.filter((F.size("titles") > 0) & (F.size("links") > 0))
@@ -153,19 +192,25 @@ _API_DICT_SCHEMA = "struct<data:array<map<string,string>>>"
 def parse_api(configs: DataFrame, payloads: DataFrame) -> DataFrame:
     """P3: JSON-tag projection; dict vs list dispatch on class_json
     (reference async_api.py:77-84). Falsy location -> site default."""
-    src = _with_bodies(configs.filter(F.col("source_kind") == "api"), payloads)
+    src = _with_bodies(
+        _with_selector_cols(configs).filter(F.col("source_kind") == "api"), payloads
+    )
     arr = F.when(
         F.col("strategy") == "dict", F.from_json(F.col("body"), _API_DICT_SCHEMA)["data"]
     ).otherwise(F.from_json(F.col("body"), _API_LIST_SCHEMA))
-    jobs = src.select("config_idx", "page", F.posexplode(arr).alias("pos", "job"))
-    loc = F.col("job")["locF"]
+    jobs = src.select(
+        "config_idx", "page", *TAG_COLS, F.posexplode(arr).alias("pos", "job")
+    )
+    # JSON-tag paths are per-site config (reference async_api.py:19-27)
+    job = F.col("job")
+    loc = F.element_at(job, _sel("tag_loc", "locF"))
     return jobs.select(
         "config_idx",
         "page",
         "pos",
-        F.coalesce(F.col("job")["titleF"], F.lit("NaN")).alias("title"),
-        F.coalesce(F.col("job")["linkF"], F.lit("NaN")).alias("link"),
-        F.coalesce(F.col("job")["descF"], F.lit("NaN")).alias("description"),
+        F.coalesce(F.element_at(job, _sel("tag_title", "titleF")), F.lit("NaN")).alias("title"),
+        F.coalesce(F.element_at(job, _sel("tag_link", "linkF")), F.lit("NaN")).alias("link"),
+        F.coalesce(F.element_at(job, _sel("tag_desc", "descF")), F.lit("NaN")).alias("description"),
         F.when((loc.isNull()) | (loc == ""), F.lit("Worldwide")).otherwise(loc).alias("location"),
         F.lit("api").alias("source_kind"),
     )

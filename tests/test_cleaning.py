@@ -67,3 +67,32 @@ def test_dedupe_matches(spark):
     assert got.count() == 2
     # API variant has no dedupe (reference src/crawlers/async_api.py:30-67)
     assert clean_jobs_df(spark.createDataFrame(pdf), dedupe=False).count() == 3
+
+
+def test_truncate_tokens_boundary(spark):
+    """F16 boundary: below / exactly-at / above max_tokens, plus empty and
+    whitespace-only inputs (reference truncate_text_tokens_optimized,
+    e5_base_v2_utils.py:37-56)."""
+    from pyspark.sql import functions as F
+
+    from jobscrawler_spark.functions.text import truncate_tokens
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c d",), ("a b c d e",), ("",), ("   ",)], ["t"]
+    )
+    out = [r["x"] for r in df.select(truncate_tokens(F.col("t"), 4).alias("x")).collect()]
+    assert out == ["a b c", "a b c d", "a b c d", "", ""]
+
+
+def test_embed_prepare_truncates_wrapped_text(spark):
+    """F14+F15+F16 chain: the WRAPPED text is what gets truncated."""
+    from pyspark.sql import functions as F
+
+    from jobscrawler_spark.functions.cleaning import embed_prepare
+
+    df = spark.createDataFrame([("T (x)", "long description with many words here", "L",)],
+                               ["title", "desc", "loc"])
+    out = df.select(
+        embed_prepare(F.col("title"), F.col("desc"), F.col("loc"), max_tokens=6).alias("e")
+    ).collect()[0]["e"]
+    assert out == "<title> T x </title> <description> long"

@@ -24,15 +24,22 @@ def payloads(spark, configs):
 
 def test_bs4_main(configs, payloads):
     rows = S.parse_bs4_main(configs, payloads).orderBy("config_idx", "page", "pos").collect()
-    # 2 main sites x 2 pages x 5 jobs
-    assert len(rows) == 20
+    # 2 default main sites x 2 pages x 5 jobs + custom-selector site x 2 x 4
+    assert len(rows) == 28
     r0 = rows[0]
     assert r0["title"] == "Engineer 100 at Site"
     assert r0["link"] == "https://bs4-0.example.com/job/100"  # F17 concat
     assert r0["location"] == "City2 Country0"
     # every third job has no location -> "NaN" (F11)
     nans = [r for r in rows if r["location"] == "NaN"]
-    assert len(nans) == 4 and all(r["pos"] == 2 for r in nans)
+    assert len(nans) == 6 and all(r["pos"] == 2 for r in nans)
+    # the custom-selector site parsed IN THE SAME PASS with its own paths
+    custom = [r for r in rows if r["config_idx"] == 9]
+    assert len(custom) == 8
+    assert custom[0]["title"] == "Custom Engineer 100"
+    assert custom[0]["link"] == "https://custom-9.example.com/cj/100"
+    assert custom[0]["location"] == "City2 Country0"
+    assert custom[0]["description"] == "Custom about 100 text"
 
 
 def test_bs4_container_zip_truncation(configs, payloads):
@@ -46,13 +53,17 @@ def test_bs4_container_zip_truncation(configs, payloads):
 
 def test_api_dict_and_list(configs, payloads):
     rows = S.parse_api(configs, payloads).orderBy("config_idx", "pos").collect()
-    assert len(rows) == 15  # 3 api sites x 5 jobs
+    assert len(rows) == 20  # 3 default api sites x 5 jobs + custom-tag site x 5
     # falsy location -> site default (reference async_api.py:142-144)
     defaults = [r for r in rows if r["location"] == "Worldwide"]
-    assert len(defaults) == 6 and all(r["pos"] in (1, 4) for r in defaults)  # i%3==1
+    assert len(defaults) == 8 and all(r["pos"] in (1, 4) for r in defaults)  # i%3==1
     # missing desc tag -> "NaN"
     missing = [r for r in rows if r["description"] == "NaN"]
-    assert len(missing) == 3 and all(r["pos"] == 3 for r in missing)
+    assert len(missing) == 4 and all(r["pos"] == 3 for r in missing)
+    # the custom-tag site resolves its own JSON tag paths in the same pass
+    custom = [r for r in rows if r["config_idx"] == 10]
+    assert len(custom) == 5 and custom[0]["title"] == "API Role 0"
+    assert custom[0]["link"] == "https://capi-10.example.com/api-job/0"
 
 
 def test_rss(configs, payloads):
@@ -68,8 +79,8 @@ def test_union_preserves_config_order(configs, payloads):
     assert df.columns == S.JOB_COLS
     ordered = df.orderBy("config_idx", "page", "pos").select("source_kind").collect()
     kinds = [r[0] for r in ordered]
-    # bs4 configs (0-2) come first, then api (3-5), then rss (6-8)
-    assert kinds == ["bs4"] * 28 + ["api"] * 15 + ["rss"] * 15
+    # bs4 configs (0-2), api (3-5), rss (6-8), custom bs4 (9), custom api (10)
+    assert kinds == ["bs4"] * 28 + ["api"] * 15 + ["rss"] * 15 + ["bs4"] * 8 + ["api"] * 5
 
 
 def test_non200_page_skipped(spark, configs):

@@ -7,6 +7,7 @@ simulator reproduces the reference's observable bug."""
 
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from jobscrawler_spark.oracle import strategy_quirks as Q
 from jobscrawler_spark.schemas import PAYLOADS, SITE_CONFIGS
@@ -14,7 +15,9 @@ from jobscrawler_spark.sources import strategies as S
 
 
 def _cfg_df(spark, cfg):
-    return spark.createDataFrame(pd.DataFrame([cfg]), SITE_CONFIGS)
+    # minimal configs (no selector columns): the strategies fill defaults
+    sub = StructType([f for f in SITE_CONFIGS.fields if f.name in cfg])
+    return spark.createDataFrame(pd.DataFrame([cfg]), sub)
 
 
 def _payloads_df(spark, bodies, kind="html"):
