@@ -47,6 +47,7 @@ SCALING_PAIR = tuple(
 )
 SCALE_SEEDS = int(os.environ.get("BENCH_SCALE_SEEDS", "150000"))
 PAIR_ROUNDS = int(os.environ.get("BENCH_PAIR_ROUNDS", "1"))
+N_PAIR_REPEATS = int(os.environ.get("BENCH_PAIR_REPEATS", "3"))
 
 # driver memory must be set before the first JVM spins up
 os.environ.setdefault("SPARK_DRIVER_MEM", "60g")
@@ -151,7 +152,9 @@ def run_crawl(spark, cores: int, n_seeds: int | None = None, rounds: int | None 
         shutil.rmtree(base, ignore_errors=True)
 
 
-def write_baseline_md(main_run: dict, pair_runs: list[dict], queries: dict) -> None:
+def write_baseline_md(
+    main_run: dict, pair_runs: list[dict], queries: dict, all_pairs: list[dict] | None = None
+) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH/BASELINE.md — measured throughput + scaling evidence",
@@ -173,11 +176,17 @@ def write_baseline_md(main_run: dict, pair_runs: list[dict], queries: dict) -> N
     if len(pair_runs) == 2:
         lo, hi = pair_runs
         eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi["cores"] / lo["cores"])
+        all_effs = [p["eff"] for p in (all_pairs or [])]
         lines += [
             "",
             f"**Scaling efficiency N={lo['cores']} -> 4N={hi['cores']}: "
             f"(throughput_4N / throughput_N) / 4 = {eff:.3f}** "
             "(target >= 0.8 per BASELINE.json north_rule).",
+            "",
+            f"Method: {len(all_effs) or 1} INTERLEAVED N/4N pairs run back-to-back "
+            f"(per-pair efficiencies: {all_effs}); the MEDIAN pair is reported. "
+            "Interleaving makes host contention hit both sides of a pair alike, "
+            "so per-pair efficiency is stable where cross-run comparisons are not.",
             "",
             "### Why a small-core pair (default 1 -> 4) is the fair one on this box",
             "",
@@ -214,19 +223,26 @@ def main() -> None:
         queries = run_queries(spark)
 
     pair_runs = []
+    all_pairs = []
     if DO_SCALING:
-        for cores in sorted(SCALING_PAIR):
-            log(f"== crawl throughput on local[{cores}] (scaling pair, best of 2) ==")
-            spark = _new_session(cores)
-            # best-of-2: host-level contention on this shared VM only ever
-            # slows a run; the max approximates the uncontended machine
-            attempts = [
-                run_crawl(spark, cores, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS)
-                for _ in range(2)
-            ]
-            r = max(attempts, key=lambda a: a["urls_per_sec"])
-            log(f"  best: {r}")
-            pair_runs.append(r)
+        # INTERLEAVED N/4N pairs, median efficiency of N_PAIR_REPEATS pairs:
+        # host contention on this shared VM hits both sides of an adjacent
+        # pair similarly, so per-pair efficiency is far more stable than
+        # efficiency across distant runs; the median rejects one bad pair.
+        lo_c, hi_c = sorted(SCALING_PAIR)
+        for i in range(N_PAIR_REPEATS):
+            log(f"== scaling pair {i + 1}/{N_PAIR_REPEATS}: local[{lo_c}] then local[{hi_c}] ==")
+            spark = _new_session(lo_c)
+            r_lo = run_crawl(spark, lo_c, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS)
+            spark = _new_session(hi_c)
+            r_hi = run_crawl(spark, hi_c, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS)
+            eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi_c / lo_c)
+            log(f"  pair {i + 1}: {r_lo['urls_per_sec']} -> {r_hi['urls_per_sec']} urls/s, eff {eff:.3f}")
+            all_pairs.append({"lo": r_lo, "hi": r_hi, "eff": round(eff, 3)})
+        by_eff = sorted(all_pairs, key=lambda p: p["eff"])
+        median = by_eff[len(by_eff) // 2]
+        log(f"  median pair eff: {median['eff']} (all: {[p['eff'] for p in all_pairs]})")
+        pair_runs = [median["lo"], median["hi"]]
 
     log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
     # fresh session: residue from earlier phases measurably slows crawls
@@ -247,11 +263,14 @@ def main() -> None:
             "urls_per_sec_4n": hi["urls_per_sec"],
             "frontier_ops_per_sec_n": lo["frontier_ops_per_sec"],
             "frontier_ops_per_sec_4n": hi["frontier_ops_per_sec"],
+            # median of N_PAIR_REPEATS interleaved-pair efficiencies
             "efficiency": round(
                 (hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi["cores"] / lo["cores"]), 3
             ),
+            "all_pair_efficiencies": [p["eff"] for p in all_pairs],
+            "method": f"median of {N_PAIR_REPEATS} interleaved N/4N pairs",
         }
-    write_baseline_md(main_run, pair_runs, queries)
+    write_baseline_md(main_run, pair_runs, queries, all_pairs)
 
     result = {
         "metric": "bench_total_wall",
