@@ -411,6 +411,69 @@ def q_a_rollup(spark, sf):
     )
 
 
+def q_j_asof_join(spark, sf):
+    """As-of (backward) join — each event aligned to the user's latest
+    purchase at-or-before it. Spark lacks a built-in; implemented as
+    union + window forward-fill (operators/asof.py), oracled against
+    DuckDB's native ASOF LEFT JOIN."""
+    from jobscrawler_spark.operators.asof import asof_join_backward
+
+    e = _t(spark, sf, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("p_value"))
+    )
+    out = asof_join_backward(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        by="user_id",
+        on="ts",
+        value_cols=["p_value"],
+        prefix="last_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("last_ts").alias("last_purchase_ts"),
+        F.col("last_p_value").alias("last_purchase_value"),
+    )
+
+
+def q_j_range_join(spark, sf):
+    """Binned range join — orders banded by totalprice intervals; the
+    BETWEEN predicate becomes a bin equi-join + exact filter
+    (operators/asof.py range_join_binned)."""
+    from jobscrawler_spark.operators.asof import range_join_binned
+
+    o = _t(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("large", 250000.0, 1e6)],
+        "band string, lo double, hi double",
+    )
+    out = range_join_binned(o, bands, "o_totalprice", "lo", "hi", bin_width=50000.0)
+    return out.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_w_moving_avg(spark, sf):
+    """RANGE-frame window: 7-day moving average of daily revenue (time
+    range, not row count — days can be missing)."""
+    o = _t(spark, sf, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    secs = (F.unix_micros(F.col("d").cast("timestamp")) / 1_000_000).cast("long")
+    w = Window.orderBy(secs).rangeBetween(-6 * 86400, 0)
+    return daily.select(
+        "d", "rev", F.round(F.avg("rev").over(w), 4).alias("ma7")
+    )
+
+
 def q_f15_embed_wrap(spark, sf):
     """F14/F15: embed-text cleanup + XML-ish wrapping."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -651,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f15_embed_wrap": q_f15_embed_wrap,
         "w_sessionize": q_w_sessionize,
         "f16_truncate_tokens": q_f16_truncate_tokens,
+        "j_asof_join": q_j_asof_join,
+        "j_range_join": q_j_range_join,
+        "w_moving_avg": q_w_moving_avg,
         "a_percentiles": q_a_percentiles,
         "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
@@ -927,6 +993,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[]))
                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                      * sqrt(list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])))) >= 0.49995
+        """,
+        "j_asof_join": """
+            WITH p AS (
+              SELECT user_id, ts, max_by(value, event_id) AS p_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   p.ts AS last_purchase_ts, p.p_value AS last_purchase_value
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "j_range_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('small', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+              ('large', 250000.0, 1000000.0))
+            SELECT band, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "w_moving_avg": """
+            WITH daily AS (
+              SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev
+              FROM orders GROUP BY 1)
+            SELECT d, rev,
+                   round(avg(rev) OVER (ORDER BY d
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4) AS ma7
+            FROM daily
         """,
         "j_shuffle_join": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

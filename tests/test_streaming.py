@@ -60,3 +60,51 @@ def test_dedupe_stream(spark, events_dir, tmp_path):
     got = spark.sql("select count(*) c, count(distinct user_id) d from dedup_users").collect()[0]
     want = spark.read.parquet(events_dir).select("user_id").distinct().count()
     assert got["c"] == got["d"] == want
+
+
+def test_stateful_sessionize_matches_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted (gap-closed)
+    session must equal the batch lag+cumsum sessionizer's; only the last
+    open session per user may be withheld (flushes on timeout in a later
+    micro-batch, which a drained AvailableNow run never reaches)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(EVENTS_SCHEMA)
+    stream = P.read_stream(spark, events_dir, schema)
+    sess = P.stateful_sessionize(stream, gap_minutes=30)
+    P.run_available_now(sess, str(tmp_path / "ckpt3"), "sessions_stream")
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"],
+                                             round(r["total_value"], 4))
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+
+    # batch analogue (same logic as q_w_sessionize)
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_utc = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_utc) - F.unix_micros(F.lag(ts_utc).over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    batch = (
+        e.withColumn("ns", new_sess)
+        .withColumn("sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"],
+                                             r["total_value"])
+        for r in batch.collect()
+    }
+    n_users = e.select("user_id").distinct().count()
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    assert len(got) >= len(want) - n_users  # at most one open session/user
