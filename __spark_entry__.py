@@ -590,6 +590,31 @@ def q_multimodal_features(spark, sf):
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+def q_multimodal_video_frames(spark, sf):
+    """Frame-sampling over binary video columns (vraw demux, every 5th
+    frame re-encoded PNG). Python decode -> rows-only; frame-content
+    equality vs synth_video is asserted in tests/test_multimodal.py.
+    Bytes are fingerprinted (md5) so the driver's canonicalizer sorts."""
+    from jobscrawler_spark.generators import gen_videos
+    from jobscrawler_spark.operators.multimodal import sample_video_frames
+
+    videos = spark.createDataFrame(gen_videos(12), "video_id string, bytes binary, fmt string")
+    return sample_video_frames(videos, every_n=5).select(
+        "video_id", "frame_no", "w", "h", "fmt", F.md5("bytes").alias("frame_md5")
+    )
+
+
+def q_multimodal_audio_features(spark, sf):
+    """Waveform feature extraction over binary pcm16 audio columns
+    (rms / zero crossings / peak). Rows-only; numpy-recompute parity in
+    tests/test_multimodal.py."""
+    from jobscrawler_spark.generators import gen_audio
+    from jobscrawler_spark.operators.multimodal import extract_audio_features
+
+    audio = spark.createDataFrame(gen_audio(48), "audio_id string, bytes binary, fmt string")
+    return extract_audio_features(audio)
+
+
 def q_text_features(spark, sf):
     d = _t(spark, sf, "documents")
     t = F.col("text")
@@ -730,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "text_features": q_text_features,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,

@@ -174,6 +174,56 @@ def decode_dct(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# video container (vraw: header + zlib of concatenated raw frames) and
+# PCM16 audio — the engine's own multimodal formats, so frame-sampling and
+# audio feature extraction are REAL code paths (external demuxers like
+# h264/mp3 stay honestly stubbed in operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def encode_vraw(frames: np.ndarray, fps: int = 10) -> bytes:
+    """frames: (n, h, w, 3) uint8 -> vraw container bytes."""
+    n, h, w, _ = frames.shape
+    return struct.pack(">IIII", n, w, h, fps) + zlib.compress(frames.tobytes(), 6)
+
+
+def decode_vraw(data: bytes) -> tuple[np.ndarray, int]:
+    n, w, h, fps = struct.unpack(">IIII", data[:16])
+    frames = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w, 3)
+    return frames, fps
+
+
+def synth_video(seed: int, w: int, h: int, n_frames: int) -> np.ndarray:
+    """Deterministic (n, h, w, 3) clip: the synth image with per-frame
+    phase motion (each frame differs; frame 0 == synth_pixels(seed))."""
+    frames = [synth_pixels(seed, w, h)]
+    for t in range(1, n_frames):
+        frames.append(synth_pixels(seed ^ (0x9E3779B97F4A7C15 * t) & 0xFFFFFFFFFFFFFFFF, w, h))
+    return np.stack(frames)
+
+
+def encode_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """samples: 1-D int16 -> pcm16 container bytes."""
+    return struct.pack(">II", len(samples), rate) + samples.astype(">i2").tobytes()
+
+
+def decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    n, rate = struct.unpack(">II", data[:8])
+    return np.frombuffer(data[8:], dtype=">i2").astype(np.int16)[:n], rate
+
+
+def synth_audio(seed: int, n_samples: int, rate: int = 16000) -> np.ndarray:
+    """Deterministic int16 waveform: mixed sinusoids + seeded noise."""
+    rng = np.random.default_rng(np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    f = rng.uniform(80, 2000, 3)
+    amp = rng.uniform(1000, 8000, 3)
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    wave = sum(a * np.sin(2 * np.pi * fi * t) for a, fi in zip(amp, f))
+    wave += rng.normal(0, 200, n_samples)
+    return np.clip(np.rint(wave), -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from .fetch_model import fetch_payload, url_digest
+from .functions import codecs
 from .functions.urls import canonicalize_py
 
 
@@ -141,6 +142,29 @@ def gen_images(n: int = 512, seed: int = 42) -> pd.DataFrame:
                 "phash": ph,
             }
         )
+    return pd.DataFrame(rows)
+
+
+def gen_videos(n: int = 12, seed: int = 42) -> pd.DataFrame:
+    """Deterministic vraw clips (engine's own container) for the
+    frame-sampling op: (video_id, bytes, fmt)."""
+    rows = []
+    for i in range(n):
+        d = url_digest(f"video:{seed}:{i}")
+        w, h = 8 + (d >> 8) % 25, 8 + (d >> 16) % 25
+        nf = 5 + d % 20
+        frames = codecs.synth_video(d, int(w), int(h), int(nf))
+        rows.append({"video_id": f"v{i:04d}", "bytes": codecs.encode_vraw(frames), "fmt": "vraw"})
+    return pd.DataFrame(rows)
+
+
+def gen_audio(n: int = 48, seed: int = 42) -> pd.DataFrame:
+    """Deterministic pcm16 waveforms: (audio_id, bytes, fmt)."""
+    rows = []
+    for i in range(n):
+        d = url_digest(f"audio:{seed}:{i}")
+        samples = codecs.synth_audio(d, int(1000 + d % 8000))
+        rows.append({"audio_id": f"a{i:04d}", "bytes": codecs.encode_pcm16(samples), "fmt": "pcm16"})
     return pd.DataFrame(rows)
 
 

@@ -216,30 +216,41 @@ def parse_api(configs: DataFrame, payloads: DataFrame) -> DataFrame:
     )
 
 
+def _rss_field(tag: str):
+    """Feedparser-ish field extraction: case-insensitive tags, attributes
+    inside the opening tag, optional CDATA wrapper, surrounding whitespace
+    trimmed — covers the real-feed shapes the fixture regexes did not
+    (SURVEY S6 was 'partial' for exactly this)."""
+    pat = rf"(?is)<{tag}(?:\s[^>]*)?>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</{tag}\s*>"
+    return F.regexp_extract("item", pat, 1)
+
+
 def parse_rss(configs: DataFrame, payloads: DataFrame) -> DataFrame:
-    """RSS items via regexp extraction per <item> block. The reference's
+    """RSS items via regexp extraction per <item>/<entry> block —
+    case-insensitive, attribute- and CDATA-tolerant, with the Atom
+    ``<link href="..."/>`` form as a fallback for <link>. The reference's
     wrong-attribute guard (quirk 3: title/link/description presence tested
     via hasattr(location_tag), async_rss.py:36-48) is NOT reproduced here —
     the clean engine guards each field on itself; the oracle-simulator test
     pins the intended semantics."""
     src = _with_bodies(configs.filter(F.col("source_kind") == "rss"), payloads)
+    item_pat = r"(?is)<(?:item|entry)(?:\s[^>]*)?>(.*?)</(?:item|entry)\s*>"
     items = src.select(
         "config_idx",
         "page",
-        F.posexplode(F.regexp_extract_all("body", F.lit(P_ITEM), 1)).alias("pos", "item"),
+        F.posexplode(F.regexp_extract_all("body", F.lit(item_pat), 1)).alias("pos", "item"),
+    )
+    link = F.when(_rss_field("link") != "", _rss_field("link")).otherwise(
+        F.regexp_extract("item", r'(?is)<link\s[^>]*href\s*=\s*"(.*?)"', 1)
     )
     return items.select(
         "config_idx",
         "page",
         "pos",
-        _nan_if_empty(F.regexp_extract("item", r"<title>(.*?)</title>", 1)).alias("title"),
-        _nan_if_empty(F.regexp_extract("item", r"<link>(.*?)</link>", 1)).alias("link"),
-        _nan_if_empty(
-            F.regexp_extract("item", r"<description>(.*?)</description>", 1)
-        ).alias("description"),
-        _nan_if_empty(F.regexp_extract("item", r"<location>(.*?)</location>", 1)).alias(
-            "location"
-        ),
+        _nan_if_empty(_rss_field("title")).alias("title"),
+        _nan_if_empty(link).alias("link"),
+        _nan_if_empty(_rss_field("description")).alias("description"),
+        _nan_if_empty(_rss_field("location")).alias("location"),
         F.lit("rss").alias("source_kind"),
     )
 

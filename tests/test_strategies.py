@@ -127,3 +127,32 @@ def test_follow_links(spark):
     )
     out2 = S.follow_links(jobs, detail403, default="DEF").collect()[0]
     assert out2["description"] == "DEF"
+
+
+def test_rss_messy_feed_shapes(spark, configs):
+    """S6 generality: CDATA, uppercase/attributed tags, Atom <entry> +
+    <link href="..."/>, whitespace — one pass, same projection."""
+    messy = (
+        '<?xml version="1.0"?><rss><channel>'
+        "<ITEM><TITLE> <![CDATA[Dev & Ops]]> </TITLE>"
+        '<link rel="alternate" href="https://rss-6.example.com/atom/1"/>'
+        "<Description lang=\"en\">\n  cdata-free desc  \n</Description></ITEM>"
+        '<entry><title type="text">Entry Role</title>'
+        "<link>https://rss-6.example.com/e/2</link>"
+        "<description><![CDATA[entry desc]]></description>"
+        "<location>Berlin</location></entry>"
+        "</channel></rss>"
+    )
+    pl = spark.createDataFrame(
+        [("https://rss-6.example.com/feed.xml", 200, messy, "rss")], PAYLOADS
+    )
+    rows = S.parse_rss(configs, pl).orderBy("pos").collect()
+    assert len(rows) == 2
+    assert rows[0]["title"] == "Dev & Ops"
+    assert rows[0]["link"] == "https://rss-6.example.com/atom/1"  # Atom href fallback
+    assert rows[0]["description"] == "cdata-free desc"
+    assert rows[0]["location"] == "NaN"
+    assert rows[1]["title"] == "Entry Role"
+    assert rows[1]["link"] == "https://rss-6.example.com/e/2"
+    assert rows[1]["description"] == "entry desc"
+    assert rows[1]["location"] == "Berlin"
