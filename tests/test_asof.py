@@ -63,3 +63,53 @@ def test_range_join_bin_width_invariant(spark):
         got.setdefault(band, []).append(i)
     assert 10 not in got["a"] and 9 in got["a"]
     assert 95 in got["c"] and 99 in got["c"]
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Independent oracle: pandas.merge_asof(direction='backward') on
+    randomized data (ties, multiple keys, empty right groups)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 120
+    left = pd.DataFrame(
+        {
+            "id": np.arange(n_l),
+            "k": rng.integers(0, 6, n_l).astype(str),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r).astype(str),  # key 5 has no right rows
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+            "v": rng.uniform(0, 1, n_r).round(6),
+        }
+    ).drop_duplicates(subset=["k", "ts"])  # asof requires unique (k, ts)
+
+    got = {
+        r["id"]: (r["asof_v"], r["asof_ts"])
+        for r in asof_join_backward(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="k", on="ts", value_cols=["v"],
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"),
+    )
+    matched = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").assign(rts=lambda d: d["ts"]),
+        on="ts", by="k", direction="backward",
+    )
+    for lrow, mrow in zip(want_df.itertuples(), matched.itertuples()):
+        gv, gt = got[lrow.id]
+        if pd.isna(lrow.v):
+            assert gv is None and gt is None, lrow
+        else:
+            assert gv == lrow.v and pd.Timestamp(gt) == mrow.rts, (lrow, gv, gt)

@@ -26,6 +26,10 @@ def crawl_config(draw):
         "default_budget": draw(st.sampled_from([2, 8])),
         "max_depth": draw(st.sampled_from([0, 1])),
         "rounds": draw(st.sampled_from([2, 3])),
+        # results must be invariant to physical knobs: fetch parallelism
+        # and delta-frontier compaction cadence
+        "fetch_partitions": draw(st.sampled_from([3, 32])),
+        "compact_every": draw(st.sampled_from([1, 2, 100])),
     }
 
 
@@ -53,6 +57,8 @@ def test_random_configs_match_oracle(spark, tmp_path_factory, cfg):
         n_shards=4,
         default_budget=cfg["default_budget"],
         max_depth=cfg["max_depth"],
+        fetch_partitions=cfg["fetch_partitions"],
+        compact_every=cfg["compact_every"],
     )
     eng.bootstrap(seeds, pol, rob)
     eng.run(cfg["rounds"])

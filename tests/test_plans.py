@@ -98,3 +98,46 @@ def test_salting_spreads_hot_host(spark):
     )
     assert parts > 4  # one host spread across many partitions
     assert selected.count() == 512  # budget exact despite salting
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The as-of join must plan as union + one window sort per key — never
+    a broadcast-nested-loop or cartesian range join."""
+    p = _plan(E.q_j_asof_join(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # no join operator AT ALL — union + window replaces the temporal join;
+    # the only exchanges are the right-side pre-agg and the window key
+    assert "Join" not in p
+    ex = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert len(ex) == 2 and any("user_id" in l for l in ex), ex
+    assert "Window" in p
+
+
+def test_range_join_is_equi_join(spark):
+    """Binned range join must plan as a hash/broadcast equi-join on the
+    bin, not a nested-loop over the BETWEEN predicate."""
+    from jobscrawler_spark.operators.asof import range_join_binned
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("large", 100000.0, 1e6)],
+        "band string, lo double, hi double",
+    )
+    p = _plan(range_join_binned(o, bands, "o_totalprice", "lo", "hi", 50000.0))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_dedup_joins_never_cartesian(spark):
+    """Every dedup/ANN candidate join must be bucket/band-keyed."""
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "dedup_embedding_cosine", "ann_lsh_topk"):
+        p = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_shuffle_join_pushdown_both_sides(spark):
+    p = _plan(E.q_j_shuffle_join(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
