@@ -343,6 +343,50 @@ def _p1_selector_oracle() -> str:
     """
 
 
+def q_s_robots_parse(spark, sf):
+    """Robots.txt PARSER (robots discovery is the same fetch dataflow
+    pointed at /robots.txt): text bodies -> (host, path_prefix, allow)
+    rules via posexplode + forward-fill of the governing User-agent group.
+    Oracle: same bodies inlined as VALUES, same parse in DuckDB SQL."""
+    from jobscrawler_spark.generators import gen_robots_bodies
+    from jobscrawler_spark.operators.frontier import parse_robots_txt
+
+    bodies = spark.createDataFrame(gen_robots_bodies(8, seed=5), "host string, body string")
+    return parse_robots_txt(bodies)
+
+
+def _robots_parse_oracle() -> str:
+    from jobscrawler_spark.generators import gen_robots_bodies
+
+    def q(s) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    body_rows = ",\n".join(
+        f"({q(r.host)}, {q(r.body)})" for r in gen_robots_bodies(8, seed=5).itertuples()
+    )
+    return rf"""
+        WITH b(host, body) AS (VALUES {body_rows}),
+        split AS (SELECT host, string_split_regex(body, '\r?\n') AS l FROM b),
+        lines AS (
+          SELECT host, generate_subscripts(l, 1) AS pos,
+                 trim(regexp_replace(l[generate_subscripts(l, 1)], '#.*$', '')) AS line
+          FROM split),
+        parsed AS (
+          SELECT host, pos,
+                 lower(regexp_extract(line, '(?i)^(user-agent|allow|disallow)\s*:', 1)) AS d,
+                 trim(regexp_extract(line, '(?i)^[a-z-]+\s*:\s*(\S*)', 1)) AS v
+          FROM lines
+          WHERE regexp_extract(line, '(?i)^(user-agent|allow|disallow)\s*:', 1) <> ''),
+        wa AS (
+          SELECT host, pos, d, v,
+                 last_value(CASE WHEN d = 'user-agent' THEN v END IGNORE NULLS)
+                   OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING) AS agent
+          FROM parsed)
+        SELECT DISTINCT host, v AS path_prefix, (d = 'allow') AS allow
+        FROM wa WHERE d <> 'user-agent' AND agent = '*' AND v <> ''
+    """
+
+
 def q_j4_positional_join(spark, sf):
     """J4: positional explode (zip semantics) — (doc_id, pos, token)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
@@ -505,6 +549,32 @@ def q_f16_truncate_tokens(spark, sf):
 def q_dedup_exact(spark, sf):
     return D.exact_duplicates(_t(spark, sf, "documents")).select(
         "content_hash", "n_docs", "doc_ids"
+    )
+
+
+def q_dedup_survivors(spark, sf):
+    """Dedup MATERIALIZATION: one surviving doc per content hash (min
+    doc_id) + duplicate count — the step that actually produces the
+    training corpus from dedup groups."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups")
+    )
+
+
+def q_corpus_filter(spark, sf):
+    """Composed training-corpus gate: exact-dedup survivor AND lang == en
+    AND quality >= 0.7 — the dedupe/lang-id/quality operators chained the
+    way a real corpus build chains them."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    surv = d.groupBy(h.alias("content_hash")).agg(F.min("doc_id").alias("doc_id"))
+    t = F.col("text")
+    return (
+        d.join(surv, "doc_id")
+        .select("doc_id", T.lang_id(t).alias("pred_lang"), T.quality_score(t).alias("quality"))
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.7))
     )
 
 
@@ -735,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_positional_join": q_j4_positional_join,
         "u_intersect_except": q_u_intersect_except,
         "p1_selector_config": q_p1_selector_config,
+        "s_robots_parse": q_s_robots_parse,
         "w_window_time_agg": q_w_window_time_agg,
         "f15_embed_wrap": q_f15_embed_wrap,
         "w_sessionize": q_w_sessionize,
@@ -745,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_percentiles": q_a_percentiles,
         "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
+        "dedup_survivors": q_dedup_survivors,
+        "corpus_filter": q_corpus_filter,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -771,6 +844,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+_TF_SQL = rf"""
+            SELECT doc_id,
+                   len(list_filter({_TOK}, t -> t <> '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+                   CASE WHEN length(text) > 0 THEN
+                     round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                           / length(text), 6) ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(list_filter({_TOK}, t -> t <> '')) > 0 THEN
+                     round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) * 1.0
+                           / len(list_filter({_TOK}, t -> t <> '')), 6) ELSE 0.0 END AS stopword_ratio,
+                   round(
+                     (CASE WHEN len(list_filter({_TOK}, t -> t <> '')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+                          (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0.0 END) < 0.2 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN len(list_filter({_TOK}, t -> t <> '')) > 0 THEN
+                          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) * 1.0
+                          / len(list_filter({_TOK}, t -> t <> '')) ELSE 0.0 END) > 0.01
+                        THEN 0.3 ELSE 0.0 END), 2)::DOUBLE AS quality
+            FROM documents
+        """
+
+_LANG_SQL = """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         t -> t <> '') AS l
+              FROM documents),
+            scores AS (
+              SELECT doc_id,
+                len(list_filter(l, t -> t IN ('der','die','und','das','ist','von','mit','ein','zu','auf'))) AS s_de,
+                len(list_filter(l, t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) AS s_en,
+                len(list_filter(l, t -> t IN ('el','la','de','que','y','en','un','es','por','con'))) AS s_es,
+                len(list_filter(l, t -> t IN ('le','la','de','et','un','est','pour','que','dans','avec'))) AS s_fr
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM scores
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -850,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a5_distinct": "SELECT DISTINCT lang, source FROM documents",
         "p1_selector_config": _p1_selector_oracle(),
+        "s_robots_parse": _robots_parse_oracle(),
         # DuckDB sum() returns HUGEINT — cast to BIGINT to match Spark's
         # long (CLAUDE.md rule); token split filters empties to match
         # text.token_count exactly (0 for empty/whitespace-only docs)
@@ -947,6 +1067,23 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list(doc_id)) AS doc_ids
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_survivors": r"""
+            SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+                   min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "corpus_filter": rf"""
+            WITH surv AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+            feats AS ({_TF_SQL}),
+            langs AS ({_LANG_SQL})
+            SELECT f.doc_id, l.pred_lang, f.quality
+            FROM feats f
+            JOIN langs l ON f.doc_id = l.doc_id
+            JOIN surv s ON f.doc_id = s.doc_id
+            WHERE l.pred_lang = 'en' AND f.quality >= 0.7
         """,
         "dedup_minhash_lsh": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 150),
@@ -1118,49 +1255,8 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM sims) WHERE rank <= 5
         """,
-        "text_features": rf"""
-            SELECT doc_id,
-                   len(list_filter({_TOK}, t -> t <> '')) AS n_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
-                   CASE WHEN length(text) > 0 THEN
-                     round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
-                           / length(text), 6) ELSE 0.0 END AS punct_ratio,
-                   CASE WHEN len(list_filter({_TOK}, t -> t <> '')) > 0 THEN
-                     round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                               t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) * 1.0
-                           / len(list_filter({_TOK}, t -> t <> '')), 6) ELSE 0.0 END AS stopword_ratio,
-                   round(
-                     (CASE WHEN len(list_filter({_TOK}, t -> t <> '')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
-                     + (CASE WHEN (CASE WHEN length(text) > 0 THEN
-                          (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text)
-                          ELSE 0.0 END) < 0.2 THEN 0.3 ELSE 0.0 END)
-                     + (CASE WHEN (CASE WHEN len(list_filter({_TOK}, t -> t <> '')) > 0 THEN
-                          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                              t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) * 1.0
-                          / len(list_filter({_TOK}, t -> t <> '')) ELSE 0.0 END) > 0.01
-                        THEN 0.3 ELSE 0.0 END), 2)::DOUBLE AS quality
-            FROM documents
-        """,
-        "text_lang_id": """
-            WITH toks AS (
-              SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                         t -> t <> '') AS l
-              FROM documents),
-            scores AS (
-              SELECT doc_id,
-                len(list_filter(l, t -> t IN ('der','die','und','das','ist','von','mit','ein','zu','auf'))) AS s_de,
-                len(list_filter(l, t -> t IN ('the','and','of','to','a','in','is','for','with','on'))) AS s_en,
-                len(list_filter(l, t -> t IN ('el','la','de','que','y','en','un','es','por','con'))) AS s_es,
-                len(list_filter(l, t -> t IN ('le','la','de','et','un','est','pour','que','dans','avec'))) AS s_fr
-              FROM toks)
-            SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                        WHEN s_es >= s_fr THEN 'es'
-                        ELSE 'fr' END AS pred_lang
-            FROM scores
-        """,
+        "text_features": _TF_SQL,
+        "text_lang_id": _LANG_SQL,
         "text_fingerprint": """
             WITH toks AS (
               SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),

@@ -125,6 +125,30 @@ def gen_robots(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_robots_bodies(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
+    """robots.txt TEXT bodies whose parse equals gen_robots(n_hosts, seed):
+    the fetch-stage form of the robots dim (one /robots.txt body per host),
+    with decoy agent groups, comments, blank lines and an empty Disallow
+    that a correct parser must ignore."""
+    rules = gen_robots(n_hosts, seed)
+    rows = []
+    for host, grp in rules.groupby("host", sort=False):
+        lines = [
+            f"# robots.txt for {host}",
+            "User-Agent: badbot",
+            "Disallow: /",
+            "",
+            "user-agent: *  # the group under test",
+        ]
+        for i, r in enumerate(grp.itertuples()):
+            d = "Allow" if r.allow else "Disallow"
+            suffix = "  # inline comment" if i % 2 == 0 else ""
+            lines.append(f"{d}: {r.path_prefix}{suffix}")
+        lines.append("Disallow:")  # empty value = allow-all = no rule
+        rows.append({"host": host, "body": "\n".join(lines)})
+    return pd.DataFrame(rows)
+
+
 def gen_images(n: int = 512, seed: int = 42) -> pd.DataFrame:
     """Images table in the driver-mandated shape (FIXTURES.md §1)."""
     rows = []

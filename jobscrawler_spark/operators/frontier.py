@@ -108,3 +108,44 @@ def salted_repartition(selected: DataFrame, n_partitions: int) -> DataFrame:
 # crawl-delay pushback lives in plans.delta_frontier (host-level delay
 # events folded in at read time) — rewriting the affected rows here would
 # reintroduce the O(frontier) per-round write the delta frontier removes.
+
+
+def parse_robots_txt(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
+    """(host, body) -> the ROBOTS dim (host, path_prefix, allow).
+
+    A real robots.txt parser in pure Catalyst: lines are posexploded, each
+    Allow/Disallow is attributed to the nearest preceding ``User-agent``
+    line via a forward-fill window (the same last(ignorenulls) pattern as
+    the as-of join), then filtered to the ``user_agent`` group. Handles
+    comments, blank lines, case-insensitive directives, and the empty
+    ``Disallow:`` (allow-all, dropped — absence of a rule means allowed).
+    At scale this runs over the fetch stage's /robots.txt round — robots
+    discovery IS the same crawl dataflow pointed at one path.
+    """
+    lines = bodies.select(
+        "host", F.posexplode(F.split("body", r"\r?\n")).alias("pos", "line")
+    ).withColumn("line", F.trim(F.regexp_replace("line", r"#.*$", "")))
+    directive = F.lower(F.regexp_extract("line", r"(?i)^(user-agent|allow|disallow)\s*:", 1))
+    value = F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:\s*(\S*)", 1))
+    parsed = lines.select(
+        "host", "pos", directive.alias("d"), value.alias("v")
+    ).filter(F.col("d") != "")
+    w = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    agent = F.last(
+        F.when(F.col("d") == "user-agent", F.col("v")), ignorenulls=True
+    ).over(w)
+    return (
+        parsed.withColumn("agent", agent)
+        .filter((F.col("d") != "user-agent") & (F.col("agent") == user_agent))
+        .filter(F.col("v") != "")  # empty Disallow: == allow-all == no rule
+        .select(
+            "host",
+            F.col("v").alias("path_prefix"),
+            (F.col("d") == "allow").alias("allow"),
+        )
+        .distinct()
+    )

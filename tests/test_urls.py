@@ -105,3 +105,22 @@ def test_xxhash64_random_strings_match_spark(spark):
     got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
     for s in cases:
         assert got[s] == spark_xxhash64_str(s), repr(s)
+
+
+def test_parse_robots_txt_roundtrip(spark):
+    """Parsing the generated robots.txt bodies must reproduce exactly the
+    rule rows they were rendered from (decoy agents, comments, and the
+    empty Disallow must all be ignored)."""
+    from jobscrawler_spark.generators import gen_robots, gen_robots_bodies
+    from jobscrawler_spark.operators.frontier import parse_robots_txt
+
+    bodies = spark.createDataFrame(gen_robots_bodies(12, seed=9), "host string, body string")
+    got = {
+        (r["host"], r["path_prefix"], r["allow"])
+        for r in parse_robots_txt(bodies).collect()
+    }
+    want = {
+        (r.host, r.path_prefix, bool(r.allow))
+        for r in gen_robots(12, seed=9).itertuples()
+    }
+    assert got == want
