@@ -787,6 +787,58 @@ def q_jobs_pipeline(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_embed_pipeline(spark, sf):
+    """The reference's SECOND entry point (embed_latest_crawled_data.py)
+    end-to-end: jobs table -> watermark filter -> wrap/clean/truncate ->
+    'passage:' prefix -> synthetic embedding -> upsert -> new watermark.
+    Not SQL-expressible (stateful two-table sink + synthetic inference);
+    invariants + watermark increments pinned in tests/test_embed_pipeline.
+    Rows-only; the embedding array is md5-fingerprinted for the
+    canonicalizer."""
+    import datetime
+
+    from jobscrawler_spark.embeddings_pipeline import (
+        bootstrap_watermark,
+        run_embed_pipeline,
+    )
+    from jobscrawler_spark.generators import (
+        gen_payload_bodies,
+        gen_site_configs,
+        gen_world_locations,
+    )
+    from jobscrawler_spark.jobs_pipeline import run_jobs_pipeline
+    from jobscrawler_spark.plans.tables import SnapshotTable
+    from jobscrawler_spark.schemas import (
+        EMBED_WATERMARK,
+        EMBEDDINGS_SINK,
+        JOBS,
+        PAYLOADS,
+        SITE_CONFIGS,
+        WORLD_LOCATIONS,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_embed_pipeline_")
+    try:
+        cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
+        pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
+        dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
+        jobs_table = SnapshotTable(f"{base}/jobs", JOBS)
+        run_jobs_pipeline(
+            spark, cfg, pl, dim, jobs_table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
+        )
+        jobs = jobs_table.read(spark).withColumn("id", F.xxhash64("link"))
+        emb_table = SnapshotTable(f"{base}/emb", EMBEDDINGS_SINK)
+        wm_table = SnapshotTable(f"{base}/wm", EMBED_WATERMARK)
+        bootstrap_watermark(spark, wm_table, datetime.datetime(2000, 1, 1), test=True)
+        run_embed_pipeline(spark, jobs, emb_table, wm_table, test=True, max_tokens=60)
+        out = emb_table.read(spark).select(
+            "id", "job_info", "timestamp", F.md5(F.to_json("embedding")).alias("embedding_md5")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_groupby_agg": q_a1_groupby_agg,
@@ -835,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "crawl_round": q_crawl_round,
         "jobs_pipeline": q_jobs_pipeline,
+        "embed_pipeline": q_embed_pipeline,
         "extract_verify": q_extract_verify,
     }
 

@@ -84,12 +84,15 @@ def embed_text_cleanup(col: Column) -> Column:
 
 
 def embed_wrap_fields(title: Column, description: Column, location: Column) -> Column:
-    """XML-ish field wrapping + join (reference: F15)."""
+    """XML-ish field wrapping + join (reference: F15). Field ORDER is
+    title, location, description — the reference's _rows_to_nested_list
+    builds [title, location, description] (embed_latest_crawled_data.py:
+    74-81) before the space-join."""
     return F.concat_ws(
         " ",
         F.format_string("<title> %s </title>", embed_text_cleanup(title)),
-        F.format_string("<description> %s </description>", embed_text_cleanup(description)),
         F.format_string("<location> %s </location>", embed_text_cleanup(location)),
+        F.format_string("<description> %s </description>", embed_text_cleanup(description)),
     )
 
 

@@ -214,9 +214,21 @@ WORLD_LOCATIONS = StructType(
 
 EMBED_WATERMARK = StructType(
     [
-        StructField("id", IntegerType(), False),
+        StructField("id", LongType(), False),  # xxhash64-derived job ids
         StructField("timestamp", TimestampType(), True),
         StructField("model", StringType(), True),
         StructField("test", BooleanType(), True),
+    ]
+)
+
+# embeddings sink (reference: to_embeddings_e5_base_v2 CREATE TABLE,
+# src/embeddings/e5_base_v2_utils.py:117-130 — vector(768) becomes
+# array<double> of the synthetic model's dim)
+EMBEDDINGS_SINK = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("job_info", StringType(), True),
+        StructField("timestamp", TimestampType(), True),
+        StructField("embedding", ArrayType(DoubleType()), True),
     ]
 )

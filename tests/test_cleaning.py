@@ -95,4 +95,5 @@ def test_embed_prepare_truncates_wrapped_text(spark):
     out = df.select(
         embed_prepare(F.col("title"), F.col("desc"), F.col("loc"), max_tokens=6).alias("e")
     ).collect()[0]["e"]
-    assert out == "<title> T x </title> <description> long"
+    # reference field order: title, location, description
+    assert out == "<title> T x </title> <location> L"
