@@ -122,6 +122,10 @@ class SeenSet:
             new_urls.select("url_hash", "url", "shard")
             .withColumn("round_added", F.lit(round_no))
             .select([f.name for f in SEEN_SET.fields])
+            # cluster rows by shard BEFORE the hive-partitioned write: each
+            # task then writes whole shards (≈ n_shards files per round)
+            # instead of every task spraying a file into every shard dir
+            .repartition(F.col("shard"))
         )
         rows = rows.persist()
         if n_new is None:
@@ -185,7 +189,10 @@ class SeenSet:
 
         with ThreadPoolExecutor(2) as ex:
             f_append = ex.submit(
-                self.seen.append, rows, {"round": round_no, "rows": n_new}
+                self.seen.append,
+                rows,
+                {"round": round_no, "rows": n_new},
+                "shard",  # hive-partitioned: the probe prunes to hit shards
             )
             f_bloom = ex.submit(_bloom_job)
             f_append.result()
@@ -265,9 +272,17 @@ class SeenSet:
 
         sure_unseen = probed.filter(~F.col("__maybe")).drop("__maybe")
         maybe = probed.filter(F.col("__maybe")).drop("__maybe")
-        # exact backstop: join on url too — hash collisions must not evict
+        # exact backstop: join on url too — hash collisions must not evict.
+        # The seen table is hive-partitioned by shard, so pruning the scan
+        # to the bloom-HIT shards is a file-level prune: at 10^10 rows the
+        # backstop reads only the handful of shards with hits instead of
+        # shuffling the whole table; zero hits skip the join entirely.
+        hit_shards = [r["shard"] for r in maybe.select("shard").distinct().collect()]
+        if not hit_shards:
+            return sure_unseen.select(cand_cols)
+        seen_subset = seen_df.filter(F.col("shard").isin(hit_shards))
         checked = maybe.join(
-            seen_df.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+            seen_subset.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
         )
         return sure_unseen.unionByName(checked).select(cand_cols)
 

@@ -65,21 +65,36 @@ class SnapshotTable:
     def snapshots(self) -> list[dict]:
         return self._load()
 
-    def _write(self, df: DataFrame, mode: str, meta: dict | None) -> int:
+    def _write(
+        self, df: DataFrame, mode: str, meta: dict | None, partition_by: str | None = None
+    ) -> int:
         snaps = self._load()
         sid = (snaps[-1]["id"] + 1) if snaps else 0
         rel = f"snap-{sid:05d}"
         out = os.path.join(self.path, rel)
-        df.write.mode("overwrite").parquet(out)
-        snaps.append({"id": sid, "dir": rel, "mode": mode, "meta": meta or {}})
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            # hive layout: a filter on the partition column prunes files —
+            # the seen table uses this so the exact-probe backstop scans
+            # only the bloom-hit shards (SCALING.md "Seen-set")
+            w = w.partitionBy(partition_by)
+        w.parquet(out)
+        snap = {"id": sid, "dir": rel, "mode": mode, "meta": meta or {}}
+        if partition_by is not None:
+            snap["partition_by"] = partition_by
+        snaps.append(snap)
         self._commit(snaps)
         return sid
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
-        return self._write(df, "append", meta)
+    def append(
+        self, df: DataFrame, meta: dict | None = None, partition_by: str | None = None
+    ) -> int:
+        return self._write(df, "append", meta, partition_by)
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
-        return self._write(df, "overwrite", meta)
+    def overwrite(
+        self, df: DataFrame, meta: dict | None = None, partition_by: str | None = None
+    ) -> int:
+        return self._write(df, "overwrite", meta, partition_by)
 
     def _dirs_at(self, snapshot_id: int | None) -> list[str]:
         snaps = self._load()
@@ -92,13 +107,25 @@ class SnapshotTable:
             dirs.append(os.path.join(self.path, s["dir"]))
         return dirs
 
+    def _is_partitioned(self) -> bool:
+        return any("partition_by" in s for s in self._load())
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         dirs = self._dirs_at(snapshot_id)
         if not dirs:
             if self.schema is None:
                 raise ValueError(f"empty table {self.path} with no schema")
             return spark.createDataFrame([], self.schema)
-        df = spark.read.parquet(*dirs)
+        if len(dirs) > 1 and self._is_partitioned():
+            # hive-partitioned snapshots cannot share one multi-root read
+            # (partition discovery needs a common base); union per-snapshot
+            # reads — partition pruning still applies within each
+            df = None
+            for d in dirs:
+                part = spark.read.parquet(d)
+                df = part if df is None else df.unionByName(part)
+        else:
+            df = spark.read.parquet(*dirs)
         if self.schema is not None:
             # stable column order regardless of file layout
             df = df.select(*[f.name for f in self.schema.fields])

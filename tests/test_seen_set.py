@@ -92,3 +92,27 @@ def test_hash_collision_cannot_evict(spark, tmp_path):
     )
     out = s.filter_unseen(spark, forged).collect()
     assert len(out) == 1 and out[0]["url"] == "http://b.example.com/y"
+
+
+def test_seen_table_partitioned_and_probe_prunes(spark, tmp_path):
+    """The exact-probe backstop must scan only bloom-HIT shards: the seen
+    table is hive-partitioned by shard and the backstop's scan carries a
+    shard partition filter (file-level pruning at 10^10 rows)."""
+    import contextlib
+    import io
+    import os
+
+    s = SeenSet(str(tmp_path / "seen"), n_shards=8)
+    s.add(spark, _urls(spark, 0, 300), round_no=0)
+    snap0 = os.path.join(s.seen.path, "snap-00000")
+    assert any(d.startswith("shard=") for d in os.listdir(snap0))
+
+    out = s.filter_unseen(spark, _urls(spark, 150, 500))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "shard" in l]
+    assert pf, plan  # the backstop scan is shard-pruned
+    # and the result is still exact
+    assert out.count() == 200
