@@ -518,6 +518,65 @@ def q_w_moving_avg(spark, sf):
     )
 
 
+def q_a_pivot(spark, sf):
+    """Pivot aggregation: per-user event counts pivoted by event_type
+    (explicit value list so the output schema is static — the scalable
+    form; an unlisted pivot needs a distinct-scan first)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+    )
+
+
+def q_w_rank_pack(spark, sf):
+    """Window-rank family: rank, dense_rank, percent_rank, ntile over
+    order value per priority class."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_sql_api_q5(spark, sf):
+    """The declarative SQL surface (spark.sql over temp views): TPC-H
+    Q5-shape regional supplier revenue — the same string runs on DuckDB."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q5)
+
+
+_SQL_Q5 = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1995-01-01'
+    GROUP BY n_name
+"""
+
+
 def q_f15_embed_wrap(spark, sf):
     """F14/F15: embed-text cleanup + XML-ish wrapping."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -865,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_join": q_j_asof_join,
         "j_range_join": q_j_range_join,
         "w_moving_avg": q_w_moving_avg,
+        "a_pivot": q_a_pivot,
+        "w_rank_pack": q_w_rank_pack,
+        "sql_api_q5": q_sql_api_q5,
         "a_percentiles": q_a_percentiles,
         "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
@@ -1230,6 +1292,25 @@ def oracle_sql() -> dict[str, str]:
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY band
         """,
+        "a_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "w_rank_pack": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   round(percent_rank() OVER w, 6) AS prnk,
+                   CAST(ntile(4) OVER w AS INT) AS quartile
+            FROM orders WHERE o_orderkey % 20 = 0
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "sql_api_q5": _SQL_Q5,
         "w_moving_avg": """
             WITH daily AS (
               SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev
