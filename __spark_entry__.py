@@ -8,6 +8,13 @@ Operators that are not SQL-expressible (the mapInPandas fetch round, the
 bloom-accelerated seen set) are verified by tests/test_equivalence.py
 against the single-threaded oracle simulator instead; their queries()
 entries have no oracle_sql and get the driver's rows-only check.
+
+Documented rows-only/queries() EXEMPTION (per CLAUDE.md): Structured
+Streaming operators (streaming/pipeline.py — watermark window, stateful
+dedupe, applyInPandasWithState sessionizer) cannot run as gate queries
+(the driver executes batch DataFrames); each is verified in
+tests/test_streaming.py against its batch analogue, whose gate queries
+(w_window_time_agg, p5_anti_join, w_sessionize) ARE oracled here.
 """
 
 from __future__ import annotations
@@ -310,7 +317,8 @@ def _p1_selector_oracle() -> str:
         pages AS (
           SELECT c.*, CAST(p.p AS INT) AS page,
                  c.url || CAST(p.p AS VARCHAR) AS fetch_url
-          FROM cfg c JOIN (SELECT unnest(generate_series(1, 10)) AS p) p
+          FROM cfg c
+          JOIN (SELECT unnest(generate_series(1, {int(bs4.pages_to_crawl.max())})) AS p) p
             ON p.p BETWEEN c.start_point AND c.pages_to_crawl),
         src AS (
           SELECT pages.*, pl.body FROM pages
@@ -377,13 +385,23 @@ def _robots_parse_oracle() -> str:
                  trim(regexp_extract(line, '(?i)^[a-z-]+\s*:\s*(\S*)', 1)) AS v
           FROM lines
           WHERE regexp_extract(line, '(?i)^(user-agent|allow|disallow)\s*:', 1) <> ''),
-        wa AS (
+        lagged AS (
           SELECT host, pos, d, v,
-                 last_value(CASE WHEN d = 'user-agent' THEN v END IGNORE NULLS)
-                   OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING) AS agent
-          FROM parsed)
-        SELECT DISTINCT host, v AS path_prefix, (d = 'allow') AS allow
-        FROM wa WHERE d <> 'user-agent' AND agent = '*' AND v <> ''
+                 coalesce(lag(d) OVER (PARTITION BY host ORDER BY pos), '') AS prev_d
+          FROM parsed),
+        g AS (
+          SELECT host, pos, d, v,
+                 sum(CASE WHEN d = 'user-agent' AND prev_d <> 'user-agent'
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                   AS group_id
+          FROM lagged),
+        agents AS (
+          SELECT host, group_id, list(DISTINCT v) AS agents
+          FROM g WHERE d = 'user-agent' GROUP BY host, group_id)
+        SELECT DISTINCT r.host, r.v AS path_prefix, (r.d = 'allow') AS allow
+        FROM g r JOIN agents a ON r.host = a.host AND r.group_id = a.group_id
+        WHERE r.d <> 'user-agent' AND list_contains(a.agents, '*') AND r.v <> ''
     """
 
 
@@ -615,11 +633,7 @@ def q_dedup_survivors(spark, sf):
     """Dedup MATERIALIZATION: one surviving doc per content hash (min
     doc_id) + duplicate count — the step that actually produces the
     training corpus from dedup groups."""
-    d = _t(spark, sf, "documents")
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    return d.groupBy(h.alias("content_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups")
-    )
+    return D.dedup_survivors(_t(spark, sf, "documents"))
 
 
 def q_corpus_filter(spark, sf):
@@ -627,8 +641,7 @@ def q_corpus_filter(spark, sf):
     AND quality >= 0.7 — the dedupe/lang-id/quality operators chained the
     way a real corpus build chains them."""
     d = _t(spark, sf, "documents")
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    surv = d.groupBy(h.alias("content_hash")).agg(F.min("doc_id").alias("doc_id"))
+    surv = D.dedup_survivors(d).select(F.col("keep_doc_id").alias("doc_id"))
     t = F.col("text")
     return (
         d.join(surv, "doc_id")

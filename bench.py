@@ -239,10 +239,11 @@ def main() -> None:
             eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi_c / lo_c)
             log(f"  pair {i + 1}: {r_lo['urls_per_sec']} -> {r_hi['urls_per_sec']} urls/s, eff {eff:.3f}")
             all_pairs.append({"lo": r_lo, "hi": r_hi, "eff": round(eff, 3)})
-        by_eff = sorted(all_pairs, key=lambda p: p["eff"])
-        median = by_eff[len(by_eff) // 2]
-        log(f"  median pair eff: {median['eff']} (all: {[p['eff'] for p in all_pairs]})")
-        pair_runs = [median["lo"], median["hi"]]
+        if all_pairs:  # BENCH_PAIR_REPEATS=0 skips the scaling phase
+            by_eff = sorted(all_pairs, key=lambda p: p["eff"])
+            median = by_eff[len(by_eff) // 2]
+            log(f"  median pair eff: {median['eff']} (all: {[p['eff'] for p in all_pairs]})")
+            pair_runs = [median["lo"], median["hi"]]
 
     log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
     # fresh session: residue from earlier phases measurably slows crawls

@@ -236,12 +236,13 @@ class CrawlEngine:
         # cogroup — url determines shard, so it is shard-local
         links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
 
-        # within-frontier dedupe: a link already pending must not re-enter
-        # (fetched URLs are already excluded — they just entered the seen set)
-        remaining = frontier_df.join(
-            fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        # within-frontier dedupe: a link already pending must not re-enter.
+        # Anti-join against the FULL frontier (not frontier-minus-fetched):
+        # fetched URLs are already excluded — seen.add completed above, so
+        # filter_unseen dropped any link equal to a fetched URL.
+        links = links.join(
+            frontier_df.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
         )
-        links = links.join(remaining.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         new_rows = (
             links.withColumn("not_before_round", F.lit(r + 1))
             .withColumn("attempts", F.lit(0))

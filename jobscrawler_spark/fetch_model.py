@@ -159,5 +159,7 @@ def link_priority(url: str) -> float:
 
 
 def user_agent_idx(url: str, round_no: int) -> int:
-    """Deterministic UA rotation: hash(url, round) % pool size."""
-    return (url_digest(url) + round_no) % N_USER_AGENTS
+    """Deterministic UA rotation: hash(url, round) % pool size. The sum
+    wraps mod 2^64 FIRST, matching ua_from_digests' uint64 arithmetic
+    (2^64 ≢ 0 mod 15, so skipping the wrap would differ near overflow)."""
+    return ((url_digest(url) + round_no) % _U64) % N_USER_AGENTS

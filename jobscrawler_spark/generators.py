@@ -132,14 +132,19 @@ def gen_robots_bodies(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
     that a correct parser must ignore."""
     rules = gen_robots(n_hosts, seed)
     rows = []
-    for host, grp in rules.groupby("host", sort=False):
+    for hi, (host, grp) in enumerate(rules.groupby("host", sort=False)):
         lines = [
             f"# robots.txt for {host}",
             "User-Agent: badbot",
+            "User-Agent: ignoredbot",  # stacked decoy group (spec: one group)
             "Disallow: /",
             "",
-            "user-agent: *  # the group under test",
         ]
+        # every other host STACKS '*' with another agent — the rules below
+        # must still parse for '*' (consecutive UA lines form one group)
+        lines.append("user-agent: *  # the group under test")
+        if hi % 2 == 0:
+            lines.append("User-agent: goodbot")
         for i, r in enumerate(grp.itertuples()):
             d = "Allow" if r.allow else "Disallow"
             suffix = "  # inline comment" if i % 2 == 0 else ""

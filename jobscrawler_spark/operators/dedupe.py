@@ -24,7 +24,7 @@ bucket, not quadratic in corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -34,15 +34,31 @@ def _tokens(col):
     return F.split(F.trim(col), TOKEN_SPLIT)
 
 
+def content_hash_col(text_col) -> Column:
+    """THE canonical content hash (lowercased, whitespace-collapsed md5) —
+    exact_duplicates, survivor selection and the corpus gate all share it."""
+    return F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (lowercased, whitespace-collapsed) docs.
     Returns (content_hash, n_docs, doc_ids sorted)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return (
-        docs.withColumn("content_hash", F.md5(norm))
+        docs.withColumn("content_hash", content_hash_col(F.col(text_col)))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup MATERIALIZATION: one surviving doc per content hash (min id)
+    plus the duplicate count — the step that produces the training corpus
+    from dedup groups. (content_hash, keep_doc_id, n_dups)."""
+    return docs.groupBy(content_hash_col(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_dups")
     )
 
 

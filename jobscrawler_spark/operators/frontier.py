@@ -113,10 +113,13 @@ def salted_repartition(selected: DataFrame, n_partitions: int) -> DataFrame:
 def parse_robots_txt(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
     """(host, body) -> the ROBOTS dim (host, path_prefix, allow).
 
-    A real robots.txt parser in pure Catalyst: lines are posexploded, each
-    Allow/Disallow is attributed to the nearest preceding ``User-agent``
-    line via a forward-fill window (the same last(ignorenulls) pattern as
-    the as-of join), then filtered to the ``user_agent`` group. Handles
+    A real robots.txt parser in pure Catalyst. Group semantics follow the
+    robots spec: CONSECUTIVE ``User-agent`` lines form ONE group and every
+    rule under them applies to all of those agents ("User-agent: *\\n
+    User-agent: badbot\\nDisallow: /x" disallows /x for both). Lines are
+    posexploded; a group starts at a User-agent line not directly preceded
+    by another (cumulative-sum group ids); the group's agent SET is
+    collected and rules filter on membership of ``user_agent``. Handles
     comments, blank lines, case-insensitive directives, and the empty
     ``Disallow:`` (allow-all, dropped — absence of a rule means allowed).
     At scale this runs over the fetch stage's /robots.txt round — robots
@@ -130,17 +133,24 @@ def parse_robots_txt(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
     parsed = lines.select(
         "host", "pos", directive.alias("d"), value.alias("v")
     ).filter(F.col("d") != "")
-    w = (
-        Window.partitionBy("host")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    wo = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("d") == "user-agent"
+    group_start = (
+        is_ua & (F.lag("d").over(wo).isNull() | (F.lag("d").over(wo) != "user-agent"))
+    ).cast("int")
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(group_start).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    agent = F.last(
-        F.when(F.col("d") == "user-agent", F.col("v")), ignorenulls=True
-    ).over(w)
+    agents = (
+        grouped.filter(is_ua)
+        .groupBy("host", "group_id")
+        .agg(F.collect_set("v").alias("agents"))
+    )
     return (
-        parsed.withColumn("agent", agent)
-        .filter((F.col("d") != "user-agent") & (F.col("agent") == user_agent))
+        grouped.filter(~is_ua)
+        .join(agents, ["host", "group_id"])
+        .filter(F.array_contains("agents", user_agent))
         .filter(F.col("v") != "")  # empty Disallow: == allow-all == no rule
         .select(
             "host",

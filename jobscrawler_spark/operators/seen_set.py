@@ -264,11 +264,18 @@ class SeenSet:
             maybe = bloom_test(bytes(row["bits"]), hashes, int(row["n_bits"]))
             return cand_pdf.assign(__maybe=maybe)
 
+        # cache the probe output (hit_shards collect + the returned branches
+        # both consume it); the PREVIOUS round's cache is dropped here so a
+        # long crawl holds exactly one probed cache, not one per round
+        prev = getattr(self, "_last_probed", None)
+        if prev is not None:
+            prev.unpersist()
         probed = (
             candidates.groupBy("shard")
             .cogroup(bloom_df.groupBy("shard"))
             .applyInPandas(probe, schema=out_schema)
         ).persist()
+        self._last_probed = probed
 
         sure_unseen = probed.filter(~F.col("__maybe")).drop("__maybe")
         maybe = probed.filter(F.col("__maybe")).drop("__maybe")
