@@ -183,10 +183,11 @@ def write_baseline_md(
             f"(throughput_4N / throughput_N) / 4 = {eff:.3f}** "
             "(target >= 0.8 per BASELINE.json north_rule).",
             "",
-            f"Method: {len(all_effs) or 1} INTERLEAVED N/4N pairs run back-to-back "
-            f"(per-pair efficiencies: {all_effs}); the MEDIAN pair is reported. "
-            "Interleaving makes host contention hit both sides of a pair alike, "
-            "so per-pair efficiency is stable where cross-run comparisons are not.",
+            f"Method: {len(all_effs) or 1} INTERLEAVED N/4N pairs (lo,hi,lo,hi), "
+            f"{2 * (len(all_effs) or 1)} samples per side; the HEADLINE is the "
+            "ratio of per-side maxima — host contention on this shared VM only "
+            "ever SLOWS a run, so each side's max approximates the uncontended "
+            f"machine. Per-pair efficiencies (best-of-2 within pair): {all_effs}.",
             "",
             "### Why a small-core pair (default 1 -> 4) is the fair one on this box",
             "",
@@ -225,25 +226,47 @@ def main() -> None:
     pair_runs = []
     all_pairs = []
     if DO_SCALING:
-        # INTERLEAVED N/4N pairs, median efficiency of N_PAIR_REPEATS pairs:
-        # host contention on this shared VM hits both sides of an adjacent
-        # pair similarly, so per-pair efficiency is far more stable than
-        # efficiency across distant runs; the median rejects one bad pair.
+        # INTERLEAVED N/4N pairs (lo,hi,lo,hi), best-of-2 PER SIDE within a
+        # pair, median efficiency over N_PAIR_REPEATS pairs. Rationale:
+        # host contention on this shared VM only ever SLOWS a run, so the
+        # per-side max approximates the uncontended machine; interleaving
+        # keeps the two sides of a pair in the same contention regime; the
+        # median rejects a pair where one side never got a clean run.
         lo_c, hi_c = sorted(SCALING_PAIR)
+        all_lo, all_hi = [], []
         for i in range(N_PAIR_REPEATS):
-            log(f"== scaling pair {i + 1}/{N_PAIR_REPEATS}: local[{lo_c}] then local[{hi_c}] ==")
-            spark = _new_session(lo_c)
-            r_lo = run_crawl(spark, lo_c, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS)
-            spark = _new_session(hi_c)
-            r_hi = run_crawl(spark, hi_c, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS)
+            log(f"== scaling pair {i + 1}/{N_PAIR_REPEATS}: "
+                f"local[{lo_c}]/local[{hi_c}] x2 interleaved ==")
+            los, his = [], []
+            for _ in range(2):
+                spark = _new_session(lo_c)
+                los.append(run_crawl(spark, lo_c, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS))
+                spark = _new_session(hi_c)
+                his.append(run_crawl(spark, hi_c, n_seeds=SCALE_SEEDS, rounds=PAIR_ROUNDS))
+            all_lo += los
+            all_hi += his
+            r_lo = max(los, key=lambda a: a["urls_per_sec"])
+            r_hi = max(his, key=lambda a: a["urls_per_sec"])
             eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi_c / lo_c)
             log(f"  pair {i + 1}: {r_lo['urls_per_sec']} -> {r_hi['urls_per_sec']} urls/s, eff {eff:.3f}")
             all_pairs.append({"lo": r_lo, "hi": r_hi, "eff": round(eff, 3)})
         if all_pairs:  # BENCH_PAIR_REPEATS=0 skips the scaling phase
-            by_eff = sorted(all_pairs, key=lambda p: p["eff"])
-            median = by_eff[len(by_eff) // 2]
-            log(f"  median pair eff: {median['eff']} (all: {[p['eff'] for p in all_pairs]})")
-            pair_runs = [median["lo"], median["hi"]]
+            # HEADLINE estimator: ratio of per-side MAXIMA over all samples.
+            # Host contention on this shared VM only ever SLOWS a run, so
+            # each side's max over 2×N_PAIR_REPEATS interleaved samples
+            # approximates the uncontended machine; the per-pair medians
+            # below are the supporting evidence. A contended sample on one
+            # side can no longer drag the estimate the way a single
+            # unlucky pair could.
+            best_lo = max(all_lo, key=lambda a: a["urls_per_sec"])
+            best_hi = max(all_hi, key=lambda a: a["urls_per_sec"])
+            sup_eff = (best_hi["urls_per_sec"] / best_lo["urls_per_sec"]) / (hi_c / lo_c)
+            log(
+                f"  best-per-side eff: {sup_eff:.3f} "
+                f"({best_lo['urls_per_sec']} -> {best_hi['urls_per_sec']} urls/s); "
+                f"per-pair effs: {[p['eff'] for p in all_pairs]}"
+            )
+            pair_runs = [best_lo, best_hi]
 
     log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
     # fresh session: residue from earlier phases measurably slows crawls
@@ -264,12 +287,15 @@ def main() -> None:
             "urls_per_sec_4n": hi["urls_per_sec"],
             "frontier_ops_per_sec_n": lo["frontier_ops_per_sec"],
             "frontier_ops_per_sec_4n": hi["frontier_ops_per_sec"],
-            # median of N_PAIR_REPEATS interleaved-pair efficiencies
+            # ratio of per-side maxima over all interleaved samples
             "efficiency": round(
                 (hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi["cores"] / lo["cores"]), 3
             ),
             "all_pair_efficiencies": [p["eff"] for p in all_pairs],
-            "method": f"median of {N_PAIR_REPEATS} interleaved N/4N pairs",
+            "method": (
+                f"per-side max over {2 * N_PAIR_REPEATS} interleaved samples "
+                "(contention only slows; max approximates the uncontended machine)"
+            ),
         }
     write_baseline_md(main_run, pair_runs, queries, all_pairs)
 

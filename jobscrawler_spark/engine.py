@@ -197,61 +197,14 @@ class CrawlEngine:
             self._commit_checkpoint()
             return {"round": r, "selected": 0, "fetched": 0, "ok": 0, "new_urls": 0}
 
-        # 1+2. land images and update the seen set — independent jobs over
-        # the cached fetch batch; run concurrently (the Spark scheduler
-        # accepts jobs from multiple threads; latency, not CPU, dominates
-        # these at small round sizes)
+        # 1+2. everything that depends ONLY on the cached fetch batch runs
+        # concurrently: images append ∥ seen-set add ∥ frontier tombstones ∥
+        # metrics (the Spark scheduler accepts jobs from multiple threads;
+        # latency, not CPU, dominates these at small round sizes — keeping
+        # them off the critical path is what the scaling efficiency measures)
         from concurrent.futures import ThreadPoolExecutor
 
         landed = fetched.filter(F.col("status") == 200).select(IMAGES_LANDED_COLS)
-        with ThreadPoolExecutor(2) as ex:
-            f_images = ex.submit(self.images.append, landed, {"round": r})
-            f_seen = ex.submit(
-                self.seen.add,
-                self.spark,
-                fetched.select(
-                    "url",
-                    "url_hash",
-                    shard_col(F.col("url_hash"), self.n_shards).alias("shard"),
-                ),
-                r,
-                n_selected,
-            )
-            images_snap = f_images.result()
-            t_images = time.monotonic()
-            f_seen.result()
-        t_seen = time.monotonic()
-
-        # 3. discovered outlinks -> new frontier rows
-        links = (
-            fetched.filter(F.col("status") == 200)
-            .select(F.explode("outlinks").alias("url"), (F.col("depth") + 1).alias("depth"))
-        )
-        links = with_canonical(links, n_shards=self.n_shards)
-        links = robots_gate(links, self._robots())
-        links = links.withColumn(
-            "priority", F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double") / 1_000_000.0
-        )
-        # within-round URL dedupe (min depth) folds into the probe's shard
-        # cogroup — url determines shard, so it is shard-local
-        links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
-
-        # within-frontier dedupe: a link already pending must not re-enter.
-        # Anti-join against the FULL frontier (not frontier-minus-fetched):
-        # fetched URLs are already excluded — seen.add completed above, so
-        # filter_unseen dropped any link equal to a fetched URL.
-        links = links.join(
-            frontier_df.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-        )
-        new_rows = (
-            links.withColumn("not_before_round", F.lit(r + 1))
-            .withColumn("attempts", F.lit(0))
-            .select([f.name for f in FRONTIER.fields])
-        )
-
-        # 4+5. delta-frontier writes (tombstones for fetched URLs, host-level
-        # crawl-delay events, new-row inserts) + metrics — four independent
-        # small appends, each O(round size); run concurrently
         part_metrics = (
             fetched.groupBy("partition_id")
             .agg(
@@ -267,22 +220,75 @@ class CrawlEngine:
             .select([f.name for f in ROUND_METRICS.fields])
             .coalesce(1)
         )
-        jobs = [
-            lambda: self.frontier.remove(fetched, r),
-            lambda: self.frontier.insert(new_rows, r),
-            lambda: self.metrics.append(part_metrics, {"round": r}),
-        ]
-        if self._has_delays():
-            delayed_hosts = (
-                fetched.select("host")
-                .distinct()
-                .join(self._politeness().filter(F.col("crawl_delay_rounds") > 0), "host")
-                .select("host", "crawl_delay_rounds")
+        def _links_job() -> int:
+            # 3. discovered outlinks -> new frontier rows. Runs CONCURRENTLY
+            # with the seen update: the probe may bind either the pre- or
+            # post-update seen/bloom snapshots — every combination is exact
+            # because links equal to a just-fetched URL are removed by the
+            # explicit anti-join against the (broadcast-small) fetch batch,
+            # and no other URL's membership changes within the round.
+            links = (
+                fetched.filter(F.col("status") == 200)
+                .select(F.explode("outlinks").alias("url"), (F.col("depth") + 1).alias("depth"))
             )
-            jobs.append(lambda: self.frontier.delay_hosts(delayed_hosts, r))
-        with ThreadPoolExecutor(len(jobs)) as ex:
-            for f in [ex.submit(j) for j in jobs]:
-                f.result()
+            links = with_canonical(links, n_shards=self.n_shards)
+            links = robots_gate(links, self._robots())
+            links = links.withColumn(
+                "priority",
+                F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double") / 1_000_000.0,
+            )
+            links = links.join(
+                fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+            )
+            # within-round URL dedupe (min depth) folds into the probe's
+            # shard cogroup — url determines shard, so it is shard-local
+            links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
+            # within-frontier dedupe: a link already pending must not
+            # re-enter (frontier_df is bound to the round-start snapshot)
+            links = links.join(
+                frontier_df.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+            )
+            new_rows = (
+                links.withColumn("not_before_round", F.lit(r + 1))
+                .withColumn("attempts", F.lit(0))
+                .select([f.name for f in FRONTIER.fields])
+            )
+            return self.frontier.insert(new_rows, r)
+
+        with ThreadPoolExecutor(6) as ex:
+            f_images = ex.submit(self.images.append, landed, {"round": r})
+            f_seen = ex.submit(
+                self.seen.add,
+                self.spark,
+                fetched.select(
+                    "url",
+                    "url_hash",
+                    shard_col(F.col("url_hash"), self.n_shards).alias("shard"),
+                ),
+                r,
+                n_selected,
+            )
+            f_rm = ex.submit(self.frontier.remove, fetched, r)
+            f_metrics = ex.submit(self.metrics.append, part_metrics, {"round": r})
+            f_insert = ex.submit(_links_job)
+            f_delay = None
+            if self._has_delays():
+                delayed_hosts = (
+                    fetched.select("host")
+                    .distinct()
+                    .join(self._politeness().filter(F.col("crawl_delay_rounds") > 0), "host")
+                    .select("host", "crawl_delay_rounds")
+                )
+                f_delay = ex.submit(self.frontier.delay_hosts, delayed_hosts, r)
+            images_snap = f_images.result()
+            t_images = time.monotonic()
+            f_seen.result()
+            f_rm.result()
+            f_metrics.result()
+            t_seen = time.monotonic()
+            f_insert.result()
+            if f_delay is not None:
+                f_delay.result()
         self.frontier.maybe_compact(self.spark, r)
         t_frontier = time.monotonic()
 
