@@ -78,3 +78,21 @@ def test_all_queries_have_entries():
     for name in E.oracle_sql():
         assert name in qs, f"oracle without query: {name}"
     assert len(qs) >= 20
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_dtypes_match_oracle(spark, ddb, name):
+    """Dtype-KIND parity (the r1 a6 failure was DuckDB HUGEINT surfacing as
+    a non-integer pandas dtype while values matched): the pandas frames the
+    driver hashes must agree in numpy kind per column. Width differences
+    (int32 vs int64) are benign — text_features hash-matched in r1 with
+    F.size's int32 against DuckDB len()'s int64 — but int-vs-float/object
+    is exactly the a6 failure mode."""
+    spdf = E.queries()[name](spark, SF_DIR).toPandas()
+    ddf = ddb.execute(E.oracle_sql()[name]).fetchdf()
+    s_dtypes = {c.lower(): spdf[c].dtype for c in spdf.columns}
+    d_dtypes = {c.lower(): ddf[c].dtype for c in ddf.columns}
+    assert set(s_dtypes) == set(d_dtypes)
+    for c in s_dtypes:
+        s, d = np.dtype(s_dtypes[c]), np.dtype(d_dtypes[c])
+        assert s.kind == d.kind, (name, c, s, d)
