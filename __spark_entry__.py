@@ -595,6 +595,28 @@ _SQL_Q5 = """
 """
 
 
+def q_graph_components(spark, sf):
+    """Connected components (dedup-cluster assembly): users chained within
+    each (hour, user_id%7) co-activity group; components via hash-to-min +
+    pointer doubling (operators/components.py). Oracle: DuckDB recursive
+    CTE computing min reachable label."""
+    from jobscrawler_spark.operators.components import connected_components
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "error")
+    hours = e.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("res"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("h", "res").orderBy("user_id")
+    edges = (
+        hours.withColumn("nxt", F.lead("user_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return connected_components(edges)
+
+
 def q_f15_embed_wrap(spark, sf):
     """F14/F15: embed-text cleanup + XML-ish wrapping."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -940,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pivot": q_a_pivot,
         "w_rank_pack": q_w_rank_pack,
         "sql_api_q5": q_sql_api_q5,
+        "graph_components": q_graph_components,
         "a_percentiles": q_a_percentiles,
         "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
@@ -1324,6 +1347,23 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "sql_api_q5": _SQL_Q5,
+        "graph_components": """
+            WITH RECURSIVE
+            hours AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS h, user_id % 7 AS res, user_id
+              FROM events WHERE event_type = 'error'),
+            edges AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER (PARTITION BY h, res ORDER BY user_id) AS dst
+              FROM hours QUALIFY dst IS NOT NULL),
+            sym AS (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges),
+            comp(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+              UNION
+              SELECT e.a, c.label FROM sym e JOIN comp c ON c.node = e.b)
+            SELECT node, min(label) AS component FROM comp GROUP BY node
+        """,
         "w_moving_avg": """
             WITH daily AS (
               SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev

@@ -125,12 +125,21 @@ def gen_robots(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def gen_robots_bodies(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
+def gen_robots_bodies(
+    n_hosts: int = 64, seed: int = 42, politeness: pd.DataFrame | None = None
+) -> pd.DataFrame:
     """robots.txt TEXT bodies whose parse equals gen_robots(n_hosts, seed):
     the fetch-stage form of the robots dim (one /robots.txt body per host),
     with decoy agent groups, comments, blank lines and an empty Disallow
-    that a correct parser must ignore."""
+    that a correct parser must ignore. Passing ``politeness`` adds the
+    hosts' crawl_delay_rounds as Crawl-delay directives in the '*' group
+    (plus a decoy delay in the badbot group)."""
     rules = gen_robots(n_hosts, seed)
+    delays = (
+        dict(zip(politeness["host"], politeness["crawl_delay_rounds"]))
+        if politeness is not None
+        else {}
+    )
     rows = []
     for hi, (host, grp) in enumerate(rules.groupby("host", sort=False)):
         lines = [
@@ -138,6 +147,7 @@ def gen_robots_bodies(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
             "User-Agent: badbot",
             "User-Agent: ignoredbot",  # stacked decoy group (spec: one group)
             "Disallow: /",
+            "Crawl-delay: 99",  # decoy delay: wrong group, must be ignored
             "",
         ]
         # every other host STACKS '*' with another agent — the rules below
@@ -149,6 +159,8 @@ def gen_robots_bodies(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
             d = "Allow" if r.allow else "Disallow"
             suffix = "  # inline comment" if i % 2 == 0 else ""
             lines.append(f"{d}: {r.path_prefix}{suffix}")
+        if int(delays.get(host, 0)) > 0:
+            lines.append(f"Crawl-Delay: {int(delays[host])}")
         lines.append("Disallow:")  # empty value = allow-all = no rule
         rows.append({"host": host, "body": "\n".join(lines)})
     return pd.DataFrame(rows)

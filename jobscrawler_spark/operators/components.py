@@ -1,0 +1,103 @@
+"""Connected components over an edge DataFrame — dedup-cluster assembly.
+
+Near-duplicate detection (MinHash/LSH, embedding cosine, n-gram Jaccard)
+emits PAIRS; materializing duplicate CLUSTERS (one canonical doc per
+component) needs connected components. The reference has nothing like it
+(its dedupe is exact ON CONFLICT); this is the north-rule training-data
+extension that makes the pair operators usable at 100 TB.
+
+Algorithm: hash-to-min label propagation with POINTER DOUBLING —
+alternating (a) every node takes the min label in its neighborhood and
+(b) every node jumps to its label's label — converging in O(log diameter)
+rounds instead of O(diameter) for plain propagation (the standard
+distributed-CC construction, e.g. the large-star/small-star family).
+Each round is two hash joins on uniform keys; labels are persisted and
+the previous round unpersisted, so memory is O(V) regardless of rounds.
+Convergence is detected by counting changed labels (one action per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable from node.
+
+    ``edges`` is undirected input (each pair once is enough); isolated
+    nodes only appear if present as self-loops or on either endpoint.
+    Deterministic: min-label over ids, no randomness, no task-order
+    dependence.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # localCheckpoint (not persist): iteration must TRUNCATE lineage, or the
+    # logical plan doubles every round and the driver dies on plan analysis
+    # long before data size matters
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # (a) neighborhood min: label <- min(label, labels of neighbors)
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+        # (b) pointer doubling: label <- label's label
+        parents = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("grand")
+        )
+        doubled = (
+            stepped.join(parents, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("grand", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            doubled.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def components_py(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find oracle (tests): node -> min reachable node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}

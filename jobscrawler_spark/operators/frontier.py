@@ -125,10 +125,41 @@ def parse_robots_txt(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
     At scale this runs over the fetch stage's /robots.txt round — robots
     discovery IS the same crawl dataflow pointed at one path.
     """
+    rules = _robots_directives(bodies, user_agent)
+    return (
+        rules.filter(F.col("d").isin("allow", "disallow"))
+        .filter(F.col("v") != "")  # empty Disallow: == allow-all == no rule
+        .select(
+            "host",
+            F.col("v").alias("path_prefix"),
+            (F.col("d") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+
+
+def parse_robots_crawl_delay(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
+    """(host, crawl_delay_rounds) from ``Crawl-delay`` directives in the
+    ``user_agent``'s group (max wins if repeated) — robots discovery feeds
+    the politeness dim as well as the path rules."""
+    rules = _robots_directives(bodies, user_agent)
+    return (
+        rules.filter((F.col("d") == "crawl-delay") & (F.col("v").rlike(r"^\d+$")))
+        .groupBy("host")
+        .agg(F.max(F.col("v").cast("int")).alias("crawl_delay_rounds"))
+    )
+
+
+def _robots_directives(bodies: DataFrame, user_agent: str) -> DataFrame:
+    """Shared parse: (host, pos, d, v) directives belonging to the
+    ``user_agent``'s group(s) — consecutive User-agent lines form one
+    group (robots spec), rules join the group's agent SET."""
     lines = bodies.select(
         "host", F.posexplode(F.split("body", r"\r?\n")).alias("pos", "line")
     ).withColumn("line", F.trim(F.regexp_replace("line", r"#.*$", "")))
-    directive = F.lower(F.regexp_extract("line", r"(?i)^(user-agent|allow|disallow)\s*:", 1))
+    directive = F.lower(
+        F.regexp_extract("line", r"(?i)^(user-agent|allow|disallow|crawl-delay)\s*:", 1)
+    )
     value = F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:\s*(\S*)", 1))
     parsed = lines.select(
         "host", "pos", directive.alias("d"), value.alias("v")
@@ -151,11 +182,5 @@ def parse_robots_txt(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
         grouped.filter(~is_ua)
         .join(agents, ["host", "group_id"])
         .filter(F.array_contains("agents", user_agent))
-        .filter(F.col("v") != "")  # empty Disallow: == allow-all == no rule
-        .select(
-            "host",
-            F.col("v").alias("path_prefix"),
-            (F.col("d") == "allow").alias("allow"),
-        )
-        .distinct()
+        .select("host", "pos", "d", "v")
     )

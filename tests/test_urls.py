@@ -124,3 +124,26 @@ def test_parse_robots_txt_roundtrip(spark):
         for r in gen_robots(12, seed=9).itertuples()
     }
     assert got == want
+
+
+def test_parse_robots_crawl_delay_roundtrip(spark):
+    """Crawl-delay directives in the '*' group parse back to the politeness
+    dim's crawl_delay_rounds; the decoy group's delay is ignored."""
+    from jobscrawler_spark.generators import gen_politeness, gen_robots_bodies
+    from jobscrawler_spark.operators.frontier import parse_robots_crawl_delay
+
+    pol = gen_politeness(12, seed=9)
+    bodies = spark.createDataFrame(
+        gen_robots_bodies(12, seed=9, politeness=pol), "host string, body string"
+    )
+    got = {
+        r["host"]: r["crawl_delay_rounds"]
+        for r in parse_robots_crawl_delay(bodies).collect()
+    }
+    want = {
+        r.host: int(r.crawl_delay_rounds)
+        for r in pol.itertuples()
+        if int(r.crawl_delay_rounds) > 0
+    }
+    assert got == want
+    assert all(v != 99 for v in got.values())  # decoy never leaks
