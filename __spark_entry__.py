@@ -672,6 +672,28 @@ def q_corpus_filter(spark, sf):
     )
 
 
+def q_sample_hash(spark, sf):
+    """Deterministic ~10% corpus sample: md5-bucket the key and compare the
+    hex prefix lexicographically — reproducible across engines and runs
+    (the sampling a training pipeline needs; rand() is neither)."""
+    d = _t(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 4)
+    return d.filter(bucket < "199a").select("doc_id", "lang", "source")
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sample: md5-ranked top-20 docs per lang
+    (equal-count strata regardless of class skew)."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
     return D.minhash_lsh_pairs(d, n_perm=8, band_size=2, k=3)
@@ -967,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
         "corpus_filter": q_corpus_filter,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1218,6 +1242,18 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list(doc_id)) AS doc_ids
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, rn FROM (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
+                       AS INT) AS rn
+              FROM documents) WHERE rn <= 20
         """,
         "dedup_survivors": r"""
             SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
