@@ -86,6 +86,7 @@ class CrawlEngine:
         fetch_partitions: int | None = None,
         expire_history: bool = False,
         compact_every: int = 8,
+        prefilter: str = "bloom",  # or "cuckoo" (north_star's alternative)
     ):
         self.spark = spark
         self.base = base_path
@@ -104,7 +105,7 @@ class CrawlEngine:
         self.frontier = DeltaFrontier(f"{base_path}/frontier", compact_every=compact_every)
         self.images = SnapshotTable(f"{base_path}/images", IMAGES_LANDED)
         self.metrics = SnapshotTable(f"{base_path}/metrics", ROUND_METRICS)
-        self.seen = SeenSet(base_path, n_shards)
+        self.seen = SeenSet(base_path, n_shards, prefilter=prefilter)
         self.next_round = 0
 
     # ------------------------------------------------------------------ dims

@@ -93,15 +93,89 @@ def _size_for(n_items: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# prefilter backends: bloom (default) and cuckoo (north_star's alternative —
+# deletable, lower FP rate). Same contract: a miss PROVES "never seen";
+# build/fold may fail (None) when over capacity -> caller rebuilds bigger.
+# The `size` value is bloom bits or cuckoo bucket count respectively (stored
+# in the table's n_bits column either way).
+# ---------------------------------------------------------------------------
+
+
+class _BloomBackend:
+    name = "bloom"
+
+    @staticmethod
+    def size_for(n_items: int) -> int:
+        return _size_for(n_items * GROWTH)
+
+    @staticmethod
+    def needs_rebuild(n_items: int, size: int) -> bool:
+        return _size_for(n_items) > size
+
+    @staticmethod
+    def build(hashes: np.ndarray, size: int) -> bytes | None:
+        return bloom_build(hashes, size)
+
+    @staticmethod
+    def fold(old: bytes, size: int, hashes: np.ndarray) -> bytes | None:
+        return bloom_or(old, bloom_build(hashes, size))
+
+    @staticmethod
+    def test(buf: bytes, hashes: np.ndarray, size: int) -> np.ndarray:
+        return bloom_test(buf, hashes, size)
+
+
+class _CuckooBackend:
+    name = "cuckoo"
+
+    @staticmethod
+    def size_for(n_items: int) -> int:
+        from . import cuckoo
+
+        return cuckoo.size_for(max(n_items, 1) * GROWTH)
+
+    @staticmethod
+    def needs_rebuild(n_items: int, size: int) -> bool:
+        from . import cuckoo
+
+        return n_items > int(0.9 * size * cuckoo.SLOTS)
+
+    @staticmethod
+    def build(hashes: np.ndarray, size: int) -> bytes | None:
+        from . import cuckoo
+
+        return cuckoo.build(hashes, size)
+
+    @staticmethod
+    def fold(old: bytes, size: int, hashes: np.ndarray) -> bytes | None:
+        from . import cuckoo
+
+        table = cuckoo.load(old, size)
+        if cuckoo.insert(table, np.sort(hashes.astype(np.uint64))):
+            return table.tobytes()
+        return None
+
+    @staticmethod
+    def test(buf: bytes, hashes: np.ndarray, size: int) -> np.ndarray:
+        from . import cuckoo
+
+        return cuckoo.contains(cuckoo.load(buf, size), hashes)
+
+
+PREFILTERS = {"bloom": _BloomBackend, "cuckoo": _CuckooBackend}
+
+
+# ---------------------------------------------------------------------------
 # SeenSet
 # ---------------------------------------------------------------------------
 
 
 class SeenSet:
-    def __init__(self, base_path: str, n_shards: int = 16):
+    def __init__(self, base_path: str, n_shards: int = 16, prefilter: str = "bloom"):
         self.n_shards = n_shards
         self.seen = SnapshotTable(f"{base_path}/seen_set", SEEN_SET)
         self.bloom = SnapshotTable(f"{base_path}/seen_bloom", SEEN_BLOOM)
+        self.backend = PREFILTERS[prefilter]
 
     # -- update -------------------------------------------------------------
     def add(
@@ -135,6 +209,7 @@ class SeenSet:
             return
 
         old_bloom = self.bloom.read(spark)
+        backend = self.backend
 
         def update(key, new_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
             if new_pdf.empty:
@@ -146,23 +221,29 @@ class SeenSet:
             shard = int(key[0])
             hashes = new_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
             if bloom_pdf.empty:
-                n_bits = _size_for(len(hashes) * GROWTH)
-                bits = bloom_build(hashes, n_bits)
+                size = backend.size_for(len(hashes))
+                bits = backend.build(hashes, size)
+                while bits is None:  # cuckoo over capacity: double and retry
+                    size <<= 1
+                    bits = backend.build(hashes, size)
                 n_items = len(hashes)
             else:
                 row = bloom_pdf.iloc[0]
-                n_bits = int(row["n_bits"])
+                size = int(row["n_bits"])
                 n_items = int(row["n_items"]) + len(hashes)
-                if _size_for(n_items) > n_bits:
-                    # grown past capacity: caller must rebuild this shard from
-                    # the exact set; mark by resizing here is impossible
-                    # without the full set, so flag with n_bits=0
+                bits = (
+                    None
+                    if backend.needs_rebuild(n_items, size)
+                    else backend.fold(bytes(row["bits"]), size, hashes)
+                )
+                if bits is None:
+                    # grown past capacity: caller must rebuild this shard
+                    # from the exact set; flag with n_bits=0
                     return pd.DataFrame(
                         [{"shard": shard, "bits": b"", "n_items": n_items, "n_bits": 0, "n_hashes": N_HASHES}]
                     )
-                bits = bloom_or(bytes(row["bits"]), bloom_build(hashes, n_bits))
             return pd.DataFrame(
-                [{"shard": shard, "bits": bits, "n_items": n_items, "n_bits": n_bits, "n_hashes": N_HASHES}]
+                [{"shard": shard, "bits": bits, "n_items": n_items, "n_bits": size, "n_hashes": N_HASHES}]
             )
 
         updated = (
@@ -204,17 +285,22 @@ class SeenSet:
 
     def _rebuild_shards(self, spark: SparkSession, shards: list[int]) -> None:
         full = self.seen.read(spark).filter(F.col("shard").isin(shards))
+        backend = self.backend
 
         def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
             hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            n_bits = _size_for(len(hashes) * GROWTH)
+            size = backend.size_for(len(hashes))
+            bits = backend.build(hashes, size)
+            while bits is None:
+                size <<= 1
+                bits = backend.build(hashes, size)
             return pd.DataFrame(
                 [
                     {
                         "shard": int(key[0]),
-                        "bits": bloom_build(hashes, n_bits),
+                        "bits": bits,
                         "n_items": len(hashes),
-                        "n_bits": n_bits,
+                        "n_bits": size,
                         "n_hashes": N_HASHES,
                     }
                 ]
@@ -246,6 +332,7 @@ class SeenSet:
             return candidates
 
         cand_cols = candidates.columns
+        backend = self.backend  # local bind: the probe closure ships to executors
         out_schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
         ) + ", __maybe boolean"
@@ -261,7 +348,7 @@ class SeenSet:
                 return cand_pdf.assign(__maybe=False)
             row = bloom_pdf.iloc[0]
             hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            maybe = bloom_test(bytes(row["bits"]), hashes, int(row["n_bits"]))
+            maybe = backend.test(bytes(row["bits"]), hashes, int(row["n_bits"]))
             return cand_pdf.assign(__maybe=maybe)
 
         # cache the probe output (hit_shards collect + the returned branches
