@@ -171,11 +171,22 @@ PREFILTERS = {"bloom": _BloomBackend, "cuckoo": _CuckooBackend}
 
 
 class SeenSet:
-    def __init__(self, base_path: str, n_shards: int = 16, prefilter: str = "bloom"):
+    def __init__(
+        self,
+        base_path: str,
+        n_shards: int = 16,
+        prefilter: str = "bloom",
+        partition_writes: bool = True,
+    ):
+        """``partition_writes=False`` drops the hive-partitioned exact-set
+        layout (flat append, no shard repartition): the A/B lever for the
+        write-path cost — correctness is identical (the probe simply loses
+        file-level pruning and falls back to a filtered scan)."""
         self.n_shards = n_shards
         self.seen = SnapshotTable(f"{base_path}/seen_set", SEEN_SET)
         self.bloom = SnapshotTable(f"{base_path}/seen_bloom", SEEN_BLOOM)
         self.backend = PREFILTERS[prefilter]
+        self.partition_writes = partition_writes
 
     # -- update -------------------------------------------------------------
     def add(
@@ -192,15 +203,14 @@ class SeenSet:
         (the engine does — one aggregation over the fetched batch covers
         every per-round statistic).
         """
-        rows = (
-            new_urls.select("url_hash", "url", "shard")
-            .withColumn("round_added", F.lit(round_no))
-            .select([f.name for f in SEEN_SET.fields])
+        rows = new_urls.select("url_hash", "url", "shard").withColumn(
+            "round_added", F.lit(round_no)
+        ).select([f.name for f in SEEN_SET.fields])
+        if self.partition_writes:
             # cluster rows by shard BEFORE the hive-partitioned write: each
             # task then writes whole shards (≈ n_shards files per round)
             # instead of every task spraying a file into every shard dir
-            .repartition(F.col("shard"))
-        )
+            rows = rows.repartition(F.col("shard"))
         rows = rows.persist()
         if n_new is None:
             n_new = rows.count()
@@ -273,7 +283,8 @@ class SeenSet:
                 self.seen.append,
                 rows,
                 {"round": round_no, "rows": n_new},
-                "shard",  # hive-partitioned: the probe prunes to hit shards
+                # hive-partitioned: the probe prunes to hit shards
+                "shard" if self.partition_writes else None,
             )
             f_bloom = ex.submit(_bloom_job)
             f_append.result()
@@ -347,8 +358,17 @@ class SeenSet:
             if bloom_pdf.empty:
                 return cand_pdf.assign(__maybe=False)
             row = bloom_pdf.iloc[0]
+            n_bits = int(row["n_bits"])
+            if n_bits == 0:
+                # capacity-flag row (add() commits it before _rebuild_shards
+                # issues the corrected overwrite — a concurrent probe may
+                # bind that intermediate snapshot): no filter bits exist, so
+                # everything is "maybe" and the exact anti-join decides.
+                # Exactness holds; only this shard's prefilter saving is lost
+                # for the one probe that raced the rebuild.
+                return cand_pdf.assign(__maybe=True)
             hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            maybe = backend.test(bytes(row["bits"]), hashes, int(row["n_bits"]))
+            maybe = backend.test(bytes(row["bits"]), hashes, n_bits)
             return cand_pdf.assign(__maybe=maybe)
 
         # cache the probe output (hit_shards collect + the returned branches

@@ -3,6 +3,7 @@ reported unseen), the exact backstop removes bloom false positives, and
 growth past capacity triggers shard rebuild."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from jobscrawler_spark.functions.urls import with_canonical
@@ -92,6 +93,86 @@ def test_hash_collision_cannot_evict(spark, tmp_path):
     )
     out = s.filter_unseen(spark, forged).collect()
     assert len(out) == 1 and out[0]["url"] == "http://b.example.com/y"
+
+
+def _range_urls(spark, lo, hi, n_shards=1):
+    """Generated (not collected) URL batch — growth tests add thousands."""
+    df = spark.range(lo, hi).select(
+        F.format_string("http://g%d.example.com/p/%d", F.col("id") % 5, F.col("id")).alias(
+            "url"
+        )
+    )
+    return with_canonical(df, n_shards=n_shards)
+
+
+@pytest.mark.parametrize("prefilter", ["bloom", "cuckoo"])
+def test_growth_rebuilds_stay_exact(spark, tmp_path, prefilter):
+    """Adversarial growth: ONE shard driven through >=3 capacity rebuilds
+    (tiny min size + headroom 2 instead of 8, so the test stays small).
+    After EVERY add the probe must stay exact — including the adds that
+    crossed a rebuild — the rebuild path must actually have fired >=3
+    times, and the bloom table keeps exactly one row for the shard."""
+    from jobscrawler_spark.operators import cuckoo
+
+    def small_size(n_items, min_bits=256):
+        target = max(n_items * SS.BITS_PER_ITEM, min_bits)
+        n = min_bits
+        while n < target:
+            n <<= 1
+        return n
+
+    if prefilter == "bloom":
+
+        class SmallBackend(SS._BloomBackend):
+            size_for = staticmethod(lambda n: small_size(n * 2))
+            needs_rebuild = staticmethod(lambda n, size: small_size(n) > size)
+
+    else:
+
+        class SmallBackend(SS._CuckooBackend):
+            size_for = staticmethod(lambda n: cuckoo.size_for(max(n, 1) * 2))
+            needs_rebuild = staticmethod(
+                lambda n, size: n > int(0.9 * size * cuckoo.SLOTS)
+            )
+
+    s = SeenSet(str(tmp_path / f"seen_{prefilter}"), n_shards=1, prefilter=prefilter)
+    s.backend = SmallBackend  # locally-defined class ships by value
+    batches = [(0, 10), (10, 40), (40, 140), (140, 540), (540, 1500), (1500, 5000)]
+    for rnd, (lo, hi) in enumerate(batches):
+        s.add(spark, _range_urls(spark, lo, hi), round_no=rnd)
+        probe = _range_urls(spark, max(0, hi - 50), hi + 25)
+        got = {r["url"] for r in s.filter_unseen(spark, probe).collect()}
+        want = {f"http://g{i % 5}.example.com/p/{i}" for i in range(hi, hi + 25)}
+        assert got == want, f"inexact after batch {rnd} ({prefilter})"
+    rebuilds = [sn for sn in s.bloom.snapshots() if "rebuilt" in sn["meta"]]
+    assert len(rebuilds) >= 3, [sn["meta"] for sn in s.bloom.snapshots()]
+    rows = s.bloom.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_items"] == 5000 and rows[0]["n_bits"] > 0
+
+
+def test_probe_treats_capacity_flag_row_as_all_maybe(spark, tmp_path):
+    """A concurrent add() commits a bloom snapshot whose over-capacity
+    shards carry the (n_bits=0, bits=b'') flag BEFORE _rebuild_shards
+    overwrites it; a probe binding that intermediate snapshot must treat
+    the shard as all-maybe (exact anti-join decides) — not crash on a
+    mod-0 probe (ADVICE r2 high)."""
+    import pandas as pd
+
+    s = SeenSet(str(tmp_path / "seen"), n_shards=2)
+    s.add(spark, _urls(spark, 0, 100, n_shards=2), round_no=0)
+    # forge the intermediate state: overwrite shard 0's row with the flag
+    bloom = s.bloom.read(spark).toPandas()
+    flagged = bloom.copy()
+    flagged.loc[flagged["shard"] == 0, "bits"] = b""
+    flagged.loc[flagged["shard"] == 0, "n_bits"] = 0
+    s.bloom.overwrite(
+        spark.createDataFrame(flagged, s.bloom.read(spark).schema), meta={"forged": True}
+    )
+    out = s.filter_unseen(spark, _urls(spark, 0, 150, n_shards=2))
+    got = sorted(r["url"] for r in out.collect())
+    want = sorted(f"http://h{(i % 5):02d}.example.com/p/{i}" for i in range(100, 150))
+    assert got == want
 
 
 def test_seen_table_partitioned_and_probe_prunes(spark, tmp_path):
