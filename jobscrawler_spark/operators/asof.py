@@ -45,21 +45,29 @@ def asof_join_backward(
     right and a left row match INCLUSIVELY (right sorts first).
     """
     out_cols = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{on}"]
+    # the matched right row travels as ONE struct filled with a single
+    # last(ignorenulls) — per-column fills could blend columns from
+    # DIFFERENT right rows when a right value column is NULL (DuckDB's
+    # ASOF JOIN returns the matching row's NULL, so must we)
+    from pyspark.sql.types import StructField, StructType
+
+    match_type = StructType(
+        [StructField(f"{prefix}{c}", right.schema[c].dataType) for c in value_cols]
+        + [StructField(f"{prefix}{on}", right.schema[on].dataType)]
+    )
     r = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("__side"),
-        F.col(on).alias(f"{prefix}{on}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.struct(
+            *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+            F.col(on).alias(f"{prefix}{on}"),
+        ).alias("__match"),
     )
     l = left.select(
         "*",
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[on].dataType).alias(f"{prefix}{on}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(match_type).alias("__match"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -67,11 +75,20 @@ def asof_join_backward(
         .orderBy(on, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        *[c for c in l.columns if c not in out_cols and c != "__side"],
-        "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
-    ).filter(F.col("__side") == 1)
+    left_keep = [c for c in l.columns if c not in ("__side", "__match")]
+    filled = (
+        u.select(
+            *left_keep,
+            "__side",
+            F.last("__match", ignorenulls=True).over(w).alias("__match"),
+        )
+        .filter(F.col("__side") == 1)
+        .select(
+            *left_keep,
+            "__side",
+            *[F.col(f"__match.{c}").alias(c) for c in out_cols],
+        )
+    )
     if tolerance_seconds is not None:
         within = (
             F.unix_micros(F.col(on).cast("timestamp"))
