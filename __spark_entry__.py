@@ -38,6 +38,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _small_shuffle(spark: SparkSession, n: str = "4"):
+    """Fixture-scale end-to-end queries are pure Spark-job fixed cost;
+    dropping shuffle partitions for their duration keeps them cheap enough
+    for the driver's per-query budget (restored on exit)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # ---------------------------------------------------------------------------
 # flagship: one crawl round end-to-end on seeds derived from sf0.001
 # ---------------------------------------------------------------------------
@@ -380,11 +396,14 @@ def _robots_parse_oracle() -> str:
                  trim(regexp_replace(l[generate_subscripts(l, 1)], '#.*$', '')) AS line
           FROM split),
         parsed AS (
+          -- crawl-delay lines participate in grouping (a rule line ends a
+          -- User-agent stack per the robots spec, matching _robots_directives)
+          -- even though only allow/disallow reach the output
           SELECT host, pos,
-                 lower(regexp_extract(line, '(?i)^(user-agent|allow|disallow)\s*:', 1)) AS d,
+                 lower(regexp_extract(line, '(?i)^(user-agent|allow|disallow|crawl-delay)\s*:', 1)) AS d,
                  trim(regexp_extract(line, '(?i)^[a-z-]+\s*:\s*(\S*)', 1)) AS v
           FROM lines
-          WHERE regexp_extract(line, '(?i)^(user-agent|allow|disallow)\s*:', 1) <> ''),
+          WHERE regexp_extract(line, '(?i)^(user-agent|allow|disallow|crawl-delay)\s*:', 1) <> ''),
         lagged AS (
           SELECT host, pos, d, v,
                  coalesce(lag(d) OVER (PARTITION BY host ORDER BY pos), '') AS prev_d
@@ -401,8 +420,69 @@ def _robots_parse_oracle() -> str:
           FROM g WHERE d = 'user-agent' GROUP BY host, group_id)
         SELECT DISTINCT r.host, r.v AS path_prefix, (r.d = 'allow') AS allow
         FROM g r JOIN agents a ON r.host = a.host AND r.group_id = a.group_id
-        WHERE r.d <> 'user-agent' AND list_contains(a.agents, '*') AND r.v <> ''
+        WHERE r.d IN ('allow', 'disallow') AND list_contains(a.agents, '*') AND r.v <> ''
     """
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Oracle for ann_ivf_kmeans: the Lloyd codebook is DETERMINISTIC
+    (normalize -> init first-8 -> 10 iterations of round-6 cosine argmax /
+    einsum mean / renormalize / round-6 — the contract documented in
+    operators/similarity.py:kmeans_codebook), so an independent numpy
+    recompute here reads the ORACLE-SCALE embeddings parquet directly
+    (the driver runs oracles at sf0.01; override with
+    SPARK_GRAFT_ORACLE_SF_DIR) and inlines the centroids as a VALUES
+    table; assignment + top-k are pure SQL like the ann_ivf_topk oracle.
+    """
+    import numpy as np
+    import duckdb as _ddb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _ddb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 2048"
+    ).fetchdf()
+    con.close()
+    n_centroids, iters = 8, 10
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = Vn[:n_centroids].copy()
+    for _ in range(iters):
+        sims = np.round(np.einsum("nd,kd->nk", Vn, C), 6)
+        assign = sims.argmax(axis=1)
+        C = np.stack(
+            [
+                Vn[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                for j in range(n_centroids)
+            ]
+        )
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        C = np.round(C, 6)
+    cent_rows = ",\n              ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in C[j])}])" for j in range(n_centroids)
+    )
+    return f"""
+            WITH cents(centroid_id, c) AS (VALUES
+              {cent_rows}),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])))), 6) DESC, c.centroid_id) AS rn
+              FROM embeddings e CROSS JOIN cents c),
+            assign AS (SELECT vec_id, embedding, centroid_id FROM scored WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+                  FROM scored WHERE vec_id < 5 AND rn <= 1),
+            sims AS (
+              SELECT q.query_id, a.vec_id,
+                     round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS sim
+              FROM assign a JOIN q ON a.centroid_id = q.centroid_id)
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+              FROM sims) WHERE rank <= 5
+        """
 
 
 def q_j4_positional_join(spark, sf):
@@ -755,9 +835,10 @@ def q_ann_ivf_topk(spark, sf):
 
 def q_ann_ivf_kmeans(spark, sf):
     """IVF with a Lloyd-refined codebook trained on a deterministic sample
-    (the scale path: train on sample, broadcast codebook). Not
-    SQL-expressible (iterative k-means); recall-vs-exact is asserted in
-    tests/test_dedupe.py. Rows-only check."""
+    (the scale path: train on sample, broadcast codebook). The codebook is
+    deterministic, so the oracle recomputes it independently (numpy over
+    the oracle-scale parquet) and runs assignment+topk as pure SQL
+    (_ivf_kmeans_oracle); recall floors are asserted in tests/test_dedupe.py."""
     e = _t(spark, sf, "embeddings")
     cents = SIM.kmeans_codebook(spark, e, n_centroids=8, iters=10)
     return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, centroids=cents)
@@ -832,7 +913,11 @@ def q_text_fingerprint(spark, sf):
 def q_crawl_round(spark, sf):
     """S2/K1/P5/W4 composed: one bounded crawl round (mapInPandas fetch).
     Not SQL-expressible; exact equivalence is pinned by
-    tests/test_equivalence.py. Driver records the rows-only check."""
+    tests/test_equivalence.py. Driver records the rows-only check.
+
+    The fixture is tiny (200 seeds), so wall time is pure Spark-job fixed
+    cost — shuffle partitions are dropped to 4 for the duration (restored
+    after) so the ~15 jobs of a round don't each schedule 32 tasks."""
     import pandas as pd
 
     from jobscrawler_spark.engine import CrawlEngine
@@ -840,11 +925,16 @@ def q_crawl_round(spark, sf):
 
     base = tempfile.mkdtemp(prefix="q_crawl_round_")
     try:
-        eng = CrawlEngine(spark, base, n_shards=8, default_budget=4, max_depth=0)
-        eng.bootstrap(gen_seeds(n=200, n_hosts=8, seed=7), gen_politeness(8, seed=7), gen_robots(8, seed=7))
-        eng.run(1)
-        out = eng.images_df().select("image_id", "w", "h", "fmt", "caption", "phash")
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            eng = CrawlEngine(
+                spark, base, n_shards=4, default_budget=4, max_depth=0, fetch_partitions=4
+            )
+            eng.bootstrap(
+                gen_seeds(n=200, n_hosts=8, seed=7), gen_politeness(8, seed=7), gen_robots(8, seed=7)
+            )
+            eng.run(1)
+            out = eng.images_df().select("image_id", "w", "h", "fmt", "caption", "phash")
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -887,18 +977,19 @@ def q_jobs_pipeline(spark, sf):
 
     base = tempfile.mkdtemp(prefix="q_jobs_pipeline_")
     try:
-        cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
-        pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
-        dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
-        table = SnapshotTable(f"{base}/jobs", JOBS)
-        run_jobs_pipeline(
-            spark, cfg, pl, dim, table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
-        )
-        out = table.read(spark)
-        # the driver's rows-only canonicalizer sorts via pandas, which cannot
-        # hash list cells — project the array column to a stable string
-        out = out.withColumn("location_tags", F.concat_ws(",", "location_tags"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
+            pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
+            dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
+            table = SnapshotTable(f"{base}/jobs", JOBS)
+            run_jobs_pipeline(
+                spark, cfg, pl, dim, table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
+            )
+            out = table.read(spark)
+            # the driver's rows-only canonicalizer sorts via pandas, which cannot
+            # hash list cells — project the array column to a stable string
+            out = out.withColumn("location_tags", F.concat_ws(",", "location_tags"))
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -935,22 +1026,23 @@ def q_embed_pipeline(spark, sf):
 
     base = tempfile.mkdtemp(prefix="q_embed_pipeline_")
     try:
-        cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
-        pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
-        dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
-        jobs_table = SnapshotTable(f"{base}/jobs", JOBS)
-        run_jobs_pipeline(
-            spark, cfg, pl, dim, jobs_table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
-        )
-        jobs = jobs_table.read(spark).withColumn("id", F.xxhash64("link"))
-        emb_table = SnapshotTable(f"{base}/emb", EMBEDDINGS_SINK)
-        wm_table = SnapshotTable(f"{base}/wm", EMBED_WATERMARK)
-        bootstrap_watermark(spark, wm_table, datetime.datetime(2000, 1, 1), test=True)
-        run_embed_pipeline(spark, jobs, emb_table, wm_table, test=True, max_tokens=60)
-        out = emb_table.read(spark).select(
-            "id", "job_info", "timestamp", F.md5(F.to_json("embedding")).alias("embedding_md5")
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            cfg = spark.createDataFrame(gen_site_configs(), SITE_CONFIGS)
+            pl = spark.createDataFrame(gen_payload_bodies(gen_site_configs()), PAYLOADS)
+            dim = spark.createDataFrame(gen_world_locations(), WORLD_LOCATIONS)
+            jobs_table = SnapshotTable(f"{base}/jobs", JOBS)
+            run_jobs_pipeline(
+                spark, cfg, pl, dim, jobs_table, clock=datetime.datetime(2024, 3, 4, 5, 6, 7)
+            )
+            jobs = jobs_table.read(spark).withColumn("id", F.xxhash64("link"))
+            emb_table = SnapshotTable(f"{base}/emb", EMBEDDINGS_SINK)
+            wm_table = SnapshotTable(f"{base}/wm", EMBED_WATERMARK)
+            bootstrap_watermark(spark, wm_table, datetime.datetime(2000, 1, 1), test=True)
+            run_embed_pipeline(spark, jobs, emb_table, wm_table, test=True, max_tokens=60)
+            out = emb_table.read(spark).select(
+                "id", "job_info", "timestamp", F.md5(F.to_json("embedding")).alias("embedding_md5")
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1418,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
         """,
 
+        "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS centroid_id, embedding AS c

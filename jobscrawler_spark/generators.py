@@ -150,6 +150,12 @@ def gen_robots_bodies(
             "Crawl-delay: 99",  # decoy delay: wrong group, must be ignored
             "",
         ]
+        # a Crawl-delay BETWEEN User-agent lines ends the stack (it is a
+        # rule line per the robots spec): prebot's group is {prebot} with
+        # delay 3 and no rules; the '*' group below starts fresh, so
+        # neither the delay nor prebot's membership may leak into it
+        lines.append("User-Agent: prebot")
+        lines.append("Crawl-delay: 3")
         # every other host STACKS '*' with another agent — the rules below
         # must still parse for '*' (consecutive UA lines form one group)
         lines.append("user-agent: *  # the group under test")
