@@ -86,7 +86,9 @@ class CrawlEngine:
         fetch_partitions: int | None = None,
         expire_history: bool = False,
         compact_every: int = 8,
+        max_tombstone_rows: int = 10_000_000,
         prefilter: str = "bloom",  # or "cuckoo" (north_star's alternative)
+        seen_partition_writes: bool = True,
     ):
         self.spark = spark
         self.base = base_path
@@ -102,10 +104,16 @@ class CrawlEngine:
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        self.frontier = DeltaFrontier(f"{base_path}/frontier", compact_every=compact_every)
+        self.frontier = DeltaFrontier(
+            f"{base_path}/frontier",
+            compact_every=compact_every,
+            max_tombstone_rows=max_tombstone_rows,
+        )
         self.images = SnapshotTable(f"{base_path}/images", IMAGES_LANDED)
         self.metrics = SnapshotTable(f"{base_path}/metrics", ROUND_METRICS)
-        self.seen = SeenSet(base_path, n_shards, prefilter=prefilter)
+        self.seen = SeenSet(
+            base_path, n_shards, prefilter=prefilter, partition_writes=seen_partition_writes
+        )
         self.next_round = 0
 
     # ------------------------------------------------------------------ dims
@@ -155,6 +163,16 @@ class CrawlEngine:
         self.frontier.bootstrap(self.spark, rows)
         self.next_round = 0
         self._commit_checkpoint()
+
+    def update_politeness(self, politeness: pd.DataFrame) -> None:
+        """Mid-crawl politeness update — the robots-discovery path: a host's
+        /robots.txt fetched during the crawl can declare a Crawl-delay
+        (operators.frontier.parse_robots_crawl_delay), which feeds back into
+        this dim. Takes effect from the NEXT round (the dim is re-read per
+        round); the cached any-delays flag is dropped so the pushback stage
+        re-arms."""
+        self._write_dim("politeness", politeness, POLITENESS)
+        self._any_delays = None
 
     def _has_delays(self) -> bool:
         """Cached once per engine: whether ANY host has a crawl delay — when
@@ -269,7 +287,7 @@ class CrawlEngine:
                 r,
                 n_selected,
             )
-            f_rm = ex.submit(self.frontier.remove, fetched, r)
+            f_rm = ex.submit(self.frontier.remove, fetched, r, n_selected)
             f_metrics = ex.submit(self.metrics.append, part_metrics, {"round": r})
             f_insert = ex.submit(_links_job)
             f_delay = None

@@ -68,6 +68,12 @@ class OracleCrawler:
                 (len(r.path_prefix), r.path_prefix, bool(r.allow))
             )
 
+    def update_politeness(self, politeness: pd.DataFrame) -> None:
+        """Mid-crawl politeness update (mirrors CrawlEngine.update_politeness):
+        budgets/delays re-derived, effective from the next round."""
+        self.politeness = politeness
+        self.__post_init__()
+
     # -- helpers (must mirror the Spark expressions exactly) ----------------
     def _allowed(self, url: str) -> bool:
         host = host_py(url)

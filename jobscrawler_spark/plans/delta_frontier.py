@@ -51,11 +51,35 @@ FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 
 class DeltaFrontier:
-    def __init__(self, base_path: str, compact_every: int = 8):
+    def __init__(
+        self,
+        base_path: str,
+        compact_every: int = 8,
+        max_tombstone_rows: int = 10_000_000,
+    ):
+        """``max_tombstone_rows`` is the broadcast-safety bound: at ~30 B/row
+        10^7 tombstones are ~300 MB — near the practical broadcast ceiling.
+        Below it the read-path anti-join broadcasts the tombstones; above it
+        the read falls back to a shuffle anti-join AND compaction fires at
+        the NEXT round end regardless of ``compact_every`` (cadence derives
+        from tombstone mass, not a fixed round count — a huge round budget
+        can no longer push the broadcast past the driver limit)."""
         self.rows = SnapshotTable(f"{base_path}/rows", FRONTIER_STORED)
         self.rm = SnapshotTable(f"{base_path}/tombstones", FRONTIER_RM)
         self.delay = SnapshotTable(f"{base_path}/delays", FRONTIER_DELAY)
         self.compact_every = compact_every
+        self.max_tombstone_rows = max_tombstone_rows
+
+    def tombstone_rows(self) -> int:
+        """Tombstone rows since the last compaction, from snapshot metadata
+        (each remove() records its row count) — no table scan, and correct
+        across resume because the manifest is the source of truth."""
+        total = 0
+        for s in self.rm.snapshots():
+            if s["mode"] == "overwrite":
+                total = 0
+            total += int(s["meta"].get("rows", 0))
+        return total
 
     # -- lifecycle -----------------------------------------------------------
     def bootstrap(self, spark: SparkSession, frontier_rows: DataFrame) -> None:
@@ -71,11 +95,12 @@ class DeltaFrontier:
     # -- merge-on-read -------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         """The effective frontier (FRONTIER columns, pushbacks folded in)."""
-        live = self.rows.read(spark).join(
-            F.broadcast(self.rm.read(spark).select("url_hash", "url")),
-            ["url_hash", "url"],
-            "left_anti",
-        )
+        rm = self.rm.read(spark).select("url_hash", "url")
+        if self.tombstone_rows() <= self.max_tombstone_rows:
+            rm = F.broadcast(rm)
+        # else: shuffle anti-join — same result, no driver-side collect of
+        # an over-bound tombstone set (compaction fires at this round's end)
+        live = self.rows.read(spark).join(rm, ["url_hash", "url"], "left_anti")
         ev = (
             self.delay.read(spark)
             .groupBy("host")
@@ -96,11 +121,15 @@ class DeltaFrontier:
         )
 
     # -- per-round deltas (each O(round size), not O(frontier size)) ---------
-    def remove(self, fetched: DataFrame, round_no: int) -> int:
-        """Tombstone the round's fetched URLs."""
+    def remove(self, fetched: DataFrame, round_no: int, n_rows: int | None = None) -> int:
+        """Tombstone the round's fetched URLs. ``n_rows`` (the engine already
+        knows it) is recorded in the snapshot meta — it drives the
+        mass-based compaction trigger without a count action."""
+        if n_rows is None:
+            n_rows = fetched.count()
         return self.rm.append(
             fetched.select("url_hash", "url").withColumn("removed_in", F.lit(round_no)),
-            meta={"round": round_no},
+            meta={"round": round_no, "rows": int(n_rows)},
         )
 
     def delay_hosts(self, delayed: DataFrame, round_no: int) -> int:
@@ -123,7 +152,11 @@ class DeltaFrontier:
 
     # -- compaction ----------------------------------------------------------
     def maybe_compact(self, spark: SparkSession, round_no: int) -> bool:
-        if self.compact_every <= 0 or (round_no + 1) % self.compact_every != 0:
+        """Compact on the round cadence OR as soon as accumulated tombstone
+        mass exceeds the broadcast-safe bound — whichever comes first."""
+        by_cadence = self.compact_every > 0 and (round_no + 1) % self.compact_every == 0
+        by_mass = self.tombstone_rows() > self.max_tombstone_rows
+        if not (by_cadence or by_mass):
             return False
         self.compact(spark, round_no)
         return True

@@ -63,6 +63,83 @@ def test_round_writes_are_append_only_and_o_round_size(spark, tmp_path):
     assert eng.frontier.rm.read(spark).count() == eng.seen.seen.read(spark).count()
 
 
+def test_mass_based_compaction_fires_early(spark, tmp_path):
+    """With the cadence effectively off (compact_every=100) and a tiny
+    broadcast-safety bound, every round's tombstone mass exceeds the bound
+    so compaction must fire at each round's end — and while above the
+    bound the read path's anti-join (shuffle fallback) must stay exact:
+    the whole crawl matches the oracle."""
+    seeds, pol, rob = _fixtures()
+    eng = CrawlEngine(
+        spark, str(tmp_path / "m"), compact_every=100, max_tombstone_rows=20, **ARGS
+    )
+    eng.bootstrap(seeds, pol, rob)
+    eng.run(3)
+    ora = _oracle(seeds, pol, rob, 3)
+
+    assert {r["url"] for r in eng.seen.all_urls(spark).collect()} == ora.seen
+    got = [(r["round"], r["url"]) for r in eng.fetch_log().select("round", "url").collect()]
+    assert got == [(d["round"], d["url"]) for d in ora.landed]
+    got_frontier = {
+        (r["url"], r["not_before_round"]) for r in eng.frontier.read(spark).collect()
+    }
+    assert got_frontier == {(u, e.not_before_round) for u, e in ora.frontier.items()}
+    # compaction fired well before the round-100 cadence: one overwrite of
+    # the rows table per round (mass trigger), tombstones folded away
+    overwrites = [s for s in eng.frontier.rows.snapshots() if s["mode"] == "overwrite"]
+    assert len(overwrites) >= 3  # bootstrap + a compaction per round
+    assert eng.frontier.tombstone_rows() == 0
+
+
+def test_mid_crawl_crawl_delay_equivalence(spark, tmp_path):
+    """VERDICT r2 #8: a host emits Crawl-delay MID-crawl (its robots.txt
+    body declares it; parse_robots_crawl_delay extracts it; the politeness
+    dim is updated between rounds). The engine's delta-frontier pushback
+    ('applies to rows with added_in < q; links discovered in round q are
+    exempt') must stay exact vs the oracle across the switch — including
+    across a compaction."""
+    import pandas as pd
+
+    from jobscrawler_spark.generators import gen_robots_bodies
+    from jobscrawler_spark.operators.frontier import parse_robots_crawl_delay
+
+    seeds, pol, rob = _fixtures()
+    pol0 = pol.copy()
+    pol0["crawl_delay_rounds"] = 0  # no delays known at bootstrap
+
+    eng = CrawlEngine(spark, str(tmp_path / "d"), compact_every=2, **ARGS)
+    eng.bootstrap(seeds, pol0, rob)
+    ora = OracleCrawler(pol0, rob, default_budget=4, max_depth=2, n_shards=4)
+    ora.bootstrap(seeds)
+    eng.run(2)
+    ora.run(2)
+
+    # mid-crawl robots discovery: bodies carry the true Crawl-delay values
+    # (gen_politeness's), the REAL parser extracts them, the dim updates
+    bodies = spark.createDataFrame(
+        gen_robots_bodies(12, seed=9, politeness=pol), "host string, body string"
+    )
+    delays = parse_robots_crawl_delay(bodies).toPandas()
+    pol1 = pol0.drop(columns=["crawl_delay_rounds"]).merge(delays, on="host", how="left")
+    pol1["crawl_delay_rounds"] = pol1["crawl_delay_rounds"].fillna(0).astype(int)
+    assert (pol1["crawl_delay_rounds"] > 0).any()  # the switch is real
+    assert dict(zip(pol1.host, pol1.crawl_delay_rounds)) == dict(
+        zip(pol.host, pol.crawl_delay_rounds)
+    )
+    eng.update_politeness(pol1)
+    ora.update_politeness(pol1)
+
+    eng.run(3)
+    ora.run(3)
+    assert {r["url"] for r in eng.seen.all_urls(spark).collect()} == ora.seen
+    got = [(r["round"], r["url"]) for r in eng.fetch_log().select("round", "url").collect()]
+    assert got == [(d["round"], d["url"]) for d in ora.landed]
+    got_frontier = {
+        (r["url"], r["not_before_round"]) for r in eng.frontier.read(spark).collect()
+    }
+    assert got_frontier == {(u, e.not_before_round) for u, e in ora.frontier.items()}
+
+
 def test_resume_across_compaction_matches_oracle(spark, tmp_path):
     seeds, pol, rob = _fixtures()
     eng = CrawlEngine(spark, str(tmp_path / "r"), compact_every=2, **ARGS)
