@@ -900,6 +900,61 @@ def q_text_lang_id(spark, sf):
     return d.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition signals: duplicate-line fraction, top bi-/
+    tri-gram occupancy, and the composed reject flag — all map-side array
+    expressions (no shuffle for a per-document statistic)."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.dup_line_fraction(t).alias("dup_line_frac"),
+        T.top_ngram_fraction(t, 2).alias("top_bigram_frac"),
+        T.top_ngram_fraction(t, 3).alias("top_trigram_frac"),
+        T.repetition_flag(t).alias("rejected"),
+    )
+
+
+def q_text_redact(spark, sf):
+    """PII redaction audit: the corpus has no organic emails/phones, so the
+    query plants deterministic ones (derived from doc_id, identically in
+    the oracle SQL) and verifies detection counts + the redacted text."""
+    d = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+    )
+    n_email, n_phone = T.pii_counts(planted)
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.md5(T.redact_pii(planted)).alias("redacted_md5"),
+    )
+
+
+def q_dedup_paragraphs(spark, sf):
+    """Cross-document paragraph dedup: the corpus has no organic shared
+    paragraphs, so boilerplate ones are planted (a footer on every doc, a
+    banner on even doc_ids — identically in the oracle) and the operator
+    reports the per-doc shared-paragraph fraction."""
+    d = _t(spark, sf, "documents")
+    withboiler = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nCopyright 2024 Example Corp\n\n"),
+            F.when(F.pmod(F.col("doc_id"), 2) == 0, F.lit("Subscribe to our newsletter")).otherwise(
+                F.concat(F.lit("doc id "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return D.paragraph_dup_stats(withboiler)
+
+
 def q_text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", T.fingerprint(F.col("text"), k=5).alias("fingerprint")).filter(
@@ -1099,6 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_redact": q_text_redact,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "crawl_round": q_crawl_round,
         "jobs_pipeline": q_jobs_pipeline,
         "embed_pipeline": q_embed_pipeline,
@@ -1573,6 +1631,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_features": _TF_SQL,
         "text_lang_id": _LANG_SQL,
+        "text_redact": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 (555) 010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents),
+            er AS (
+              SELECT doc_id, t,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                    '[REDACTED]', 'g') AS t_noemail
+              FROM planted)
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t_noemail, '\+?[0-9][0-9()\-. ]{5,}[0-9]')) AS n_phones,
+                   md5(regexp_replace(t_noemail, '\+?[0-9][0-9()\-. ]{5,}[0-9]',
+                                      '[REDACTED]', 'g')) AS redacted_md5
+            FROM er
+        """,
+        "dedup_paragraphs": r"""
+            WITH wb AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10) || 'Copyright 2024 Example Corp'
+                          || chr(10) || chr(10)
+                          || CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+                                  ELSE 'doc id ' || CAST(doc_id AS VARCHAR) END AS t
+              FROM documents),
+            paras AS (
+              SELECT DISTINCT doc_id, md5(p) AS para_hash
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                             list_transform(string_split_regex(t, '\r?\n\r?\n'),
+                                            p -> lower(trim(regexp_replace(p, '\s+', ' ', 'g')))),
+                             p -> p <> '')) AS p
+                    FROM wb)),
+            counts AS (
+              SELECT para_hash, count(DISTINCT doc_id) AS n_docs
+              FROM paras GROUP BY para_hash)
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paras,
+                   round(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                     AS shared_para_frac
+            FROM paras p JOIN counts c USING (para_hash)
+            GROUP BY p.doc_id
+        """,
+        "text_repetition": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split_regex(text, '\r?\n'),
+                                                l -> trim(l)), l -> l <> '') AS lines,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lines,
+                     list_transform(
+                       list_filter(list_zip(toks, toks[2:]), z -> z[2] IS NOT NULL),
+                       z -> z[1] || ' ' || z[2]) AS g2,
+                     list_transform(
+                       list_filter(list_zip(toks, toks[2:], toks[3:]), z -> z[3] IS NOT NULL),
+                       z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS g3
+              FROM base),
+            fr AS (
+              SELECT doc_id,
+                CASE WHEN len(lines) > 0 THEN
+                  round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+                ELSE 0.0 END AS dup_line_frac,
+                CASE WHEN len(g2) > 0 THEN
+                  round(list_max(list_transform(list_distinct(g2),
+                        d -> len(list_filter(g2, x -> x = d)))) * 1.0 / len(g2), 6)
+                ELSE 0.0 END AS top_bigram_frac,
+                CASE WHEN len(g3) > 0 THEN
+                  round(list_max(list_transform(list_distinct(g3),
+                        d -> len(list_filter(g3, x -> x = d)))) * 1.0 / len(g3), 6)
+                ELSE 0.0 END AS top_trigram_frac
+              FROM grams)
+            SELECT doc_id, dup_line_frac, top_bigram_frac, top_trigram_frac,
+                   (dup_line_frac > 0.30 OR top_bigram_frac > 0.18
+                    OR top_trigram_frac > 0.16) AS rejected
+            FROM fr
+        """,
         "text_fingerprint": """
             WITH toks AS (
               SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),

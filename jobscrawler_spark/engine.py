@@ -308,7 +308,10 @@ class CrawlEngine:
             f_insert.result()
             if f_delay is not None:
                 f_delay.result()
-        self.frontier.maybe_compact(self.spark, r)
+        if self.frontier.maybe_compact(self.spark, r):
+            # same cadence: fold the seen table's per-round appends so the
+            # probe's union-of-snapshots read stays bounded (seen_set.compact)
+            self.seen.compact(self.spark)
         t_frontier = time.monotonic()
 
         stats = {
@@ -337,6 +340,10 @@ class CrawlEngine:
             self.frontier.expire_history()
             if self.seen.bloom.current_snapshot is not None:
                 self.seen.bloom.expire_before(self.seen.bloom.current_snapshot)
+            if self.seen.seen.current_snapshot is not None:
+                # drops pre-compaction seen snapshots (unreachable since the
+                # last overwrite); plain appends are all kept
+                self.seen.seen.expire_before(self.seen.seen.current_snapshot)
         return stats
 
     def run(self, n_rounds: int) -> list[dict]:

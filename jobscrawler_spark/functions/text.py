@@ -110,6 +110,86 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     return F.array_min(grams)  # null for docs with fewer than k tokens
 
 
+def _word_grams(toks: Column, k: int) -> Column:
+    """Word k-grams as joined strings (empty array for docs shorter than k)."""
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line — the
+    duplicate-line signal of published web-text repetition filtering
+    (Gopher-style; boilerplate/nav-menu pages score high). Pure Catalyst,
+    map-side."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\r?\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n = F.size(lines)
+    dups = n - F.size(F.array_distinct(lines))
+    return F.when(n > 0, F.round(dups / n, 6)).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(text: Column, k: int = 2) -> Column:
+    """Fraction of all word-k-gram occurrences taken by the single most
+    frequent k-gram (the top-n-gram repetition signal of the same
+    published filter family). Array-expression only — per-row compute is
+    O(tokens x distinct grams), no shuffle; the explode+groupBy form would
+    shuffle every gram at 100 TB for a per-document statistic."""
+    grams = _word_grams(tokens_col(F.lower(text)), k)
+    n = F.size(grams)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda g: g == d)),
+    )
+    return F.when(n > 0, F.round(F.array_max(counts) / n, 6)).otherwise(F.lit(0.0))
+
+
+def repetition_flag(
+    text: Column,
+    max_dup_line: float = 0.30,
+    max_top_bigram: float = 0.18,
+    max_top_trigram: float = 0.16,
+) -> Column:
+    """True = document fails the repetition filter (thresholds follow the
+    published Gopher-rule magnitudes; tune per corpus)."""
+    return (
+        (dup_line_fraction(text) > max_dup_line)
+        | (top_ngram_fraction(text, 2) > max_top_bigram)
+        | (top_ngram_fraction(text, 3) > max_top_trigram)
+    )
+
+
+# RE2-safe patterns (no lookarounds/backrefs) so the DuckDB oracle runs
+# the SAME regex: email local@domain.tld and 7+-digit phone-ish runs with
+# separators. Deliberately conservative — corpus redaction favors recall
+# on unambiguous shapes over clever heuristics.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{5,}[0-9]"
+
+
+def redact_pii(text: Column, token: str = "[REDACTED]") -> Column:
+    """Training-data PII scrub: mask email addresses and phone-number-like
+    digit runs with ``token``. Pure Catalyst (regexp_replace); emails are
+    replaced first so their digits cannot re-trigger the phone pattern."""
+    return F.regexp_replace(F.regexp_replace(text, EMAIL_RE, token), PHONE_RE, token)
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) per document — the audit side of redaction.
+    Phone counting runs on the email-redacted text, mirroring redact_pii's
+    ordering, so an email's digits are never double-counted."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    n_phone = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(text, EMAIL_RE, "[REDACTED]"), F.lit(PHONE_RE), 0
+        )
+    )
+    return n_email, n_phone
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

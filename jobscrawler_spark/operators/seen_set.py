@@ -294,6 +294,28 @@ class SeenSet:
         if needs_rebuild:
             self._rebuild_shards(spark, needs_rebuild)
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the per-round appended snapshots into one overwrite.
+
+        The snapshot layer reads a partitioned table as a UNION of
+        per-snapshot scans (hive layouts cannot share one multi-root
+        read), so probe-plan size grows linearly with appended rounds —
+        measured +0.15 s/round at sandbox scale. The engine compacts on
+        the frontier's compact_every cadence, bounding the union at
+        compact_every snapshots. (Real Iceberg makes this unnecessary:
+        its manifests give appends a single-scan read; this is the
+        emulation layer's equivalent maintenance action.)"""
+        if self.seen.current_snapshot is None:
+            return
+        rows = self.seen.read(spark)
+        if self.partition_writes:
+            rows = rows.repartition(F.col("shard"))
+        self.seen.overwrite(
+            rows,
+            meta={"compact": True},
+            partition_by="shard" if self.partition_writes else None,
+        )
+
     def _rebuild_shards(self, spark: SparkSession, shards: list[int]) -> None:
         full = self.seen.read(spark).filter(F.col("shard").isin(shards))
         backend = self.backend
@@ -337,10 +359,25 @@ class SeenSet:
         dedupe (keeping min depth) is shard-local — folding it into the
         probe saves the caller a full shuffle.
         """
+        if self.seen.current_snapshot is None and self.bloom.current_snapshot is None:
+            # empty set (bootstrap / first round): nothing can be seen, so
+            # skip the bloom cogroup + hit-shard collect entirely; only the
+            # within-batch min-depth dedupe remains (one shuffle on url).
+            # Under the engine's concurrent round this is the same answer
+            # as binding the pre-update snapshots — exact by the round
+            # invariant (just-fetched URLs are anti-joined separately).
+            if not dedupe_min_depth:
+                return candidates
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("url").orderBy("depth")
+            return (
+                candidates.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         seen_df = self.seen.read(spark)
         bloom_df = self.bloom.read(spark)
-        if self.seen.current_snapshot is None and not dedupe_min_depth:
-            return candidates
 
         cand_cols = candidates.columns
         backend = self.backend  # local bind: the probe closure ships to executors
