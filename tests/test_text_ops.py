@@ -1,0 +1,90 @@
+"""Handcrafted expectations for the r3 corpus-curation operators
+(repetition signals, PII redaction, paragraph dedup) — the DuckDB gate
+(test_entry_oracle) proves cross-engine equality; these pin the intended
+values on inputs where the right answer is computable by hand."""
+
+from pyspark.sql import functions as F
+
+from jobscrawler_spark.functions import text as T
+from jobscrawler_spark.operators.dedupe import paragraph_dup_stats
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_dup_line_fraction_counts_repeats(spark):
+    # lines: [menu, home, menu, home] -> 2 of 4 repeat an earlier line
+    assert _one(spark, "menu\nhome\n\nmenu\nhome", T.dup_line_fraction(F.col("text"))) == 0.5
+    assert _one(spark, "a\nb\nc", T.dup_line_fraction(F.col("text"))) == 0.0
+    assert _one(spark, "", T.dup_line_fraction(F.col("text"))) == 0.0
+
+
+def test_top_ngram_fraction(spark):
+    # bigrams of "x y x y x": [x y, y x, x y, y x] -> top = 2/4
+    assert _one(spark, "x y x y x", T.top_ngram_fraction(F.col("text"), 2)) == 0.5
+    # all-distinct bigrams -> 1/3
+    v = _one(spark, "a b c d", T.top_ngram_fraction(F.col("text"), 2))
+    assert abs(v - 1 / 3) < 1e-6
+    # shorter than k -> 0
+    assert _one(spark, "one", T.top_ngram_fraction(F.col("text"), 2)) == 0.0
+
+
+def test_repetition_flag_thresholds(spark):
+    spam = "buy now buy now buy now buy now buy now"
+    clean = "the quick brown fox jumps over the lazy dog near a river bank"
+    assert _one(spark, spam, T.repetition_flag(F.col("text"))) is True
+    assert _one(spark, clean, T.repetition_flag(F.col("text"))) is False
+
+
+def test_redact_pii_masks_email_and_phone(spark):
+    t = "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567 today"
+    out = _one(spark, t, T.redact_pii(F.col("text")))
+    assert out == "mail [REDACTED] or call [REDACTED] today"
+    n_email, n_phone = T.pii_counts(F.col("text"))
+    df = spark.createDataFrame([(t,)], ["text"]).select(
+        n_email.alias("e"), n_phone.alias("p")
+    )
+    r = df.collect()[0]
+    assert (r["e"], r["p"]) == (1, 1)
+
+
+def test_redact_pii_email_digits_not_double_counted(spark):
+    # the digits of an email local-part must not re-trigger the phone
+    # pattern after email redaction (redact order: email first)
+    t = "reach a123456789@example.com now"
+    out = _one(spark, t, T.redact_pii(F.col("text")))
+    assert out == "reach [REDACTED] now"
+    n_email, n_phone = T.pii_counts(F.col("text"))
+    df = spark.createDataFrame([(t,)], ["text"]).select(
+        n_email.alias("e"), n_phone.alias("p")
+    )
+    r = df.collect()[0]
+    assert (r["e"], r["p"]) == (1, 0)
+
+
+def test_paragraph_dup_stats_shared_footer(spark):
+    footer = "Copyright 2024 Example Corp"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique body one\n\n{footer}"),
+            (2, f"unique body two\n\n{footer}"),
+            (3, "entirely alone"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dup_stats(docs).collect()}
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_shared_paras"] == 1
+    assert rows[1]["shared_para_frac"] == 0.5
+    assert rows[2]["shared_para_frac"] == 0.5
+    assert rows[3]["n_paras"] == 1 and rows[3]["n_shared_paras"] == 0
+
+
+def test_paragraph_dup_normalizes_whitespace_and_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD")],
+        ["doc_id", "text"],
+    )
+    rows = paragraph_dup_stats(docs).collect()
+    assert all(r["shared_para_frac"] == 1.0 for r in rows)
