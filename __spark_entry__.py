@@ -485,6 +485,42 @@ def _ivf_kmeans_oracle() -> str:
         """
 
 
+def _phash_neardup_oracle() -> str:
+    """Oracle for image_phash_neardup: the (image_id, phash) fixture rows
+    are deterministic (gen_images), so they are inlined as VALUES; the
+    1-bit variant construction, band bucketing and Hamming filter are
+    pure SQL mirroring operators/similarity.py:phash_near_dup_pairs."""
+    from jobscrawler_spark.generators import gen_images
+
+    rows = ",\n              ".join(
+        f"('{r.image_id}', {int(r.phash)})"
+        for r in gen_images(256)[["image_id", "phash"]].itertuples()
+    )
+    return f"""
+            WITH base(image_id, phash) AS (VALUES
+              {rows}),
+            withvar AS (
+              SELECT image_id, phash FROM base
+              UNION ALL
+              SELECT image_id || '~v',
+                     xor(phash, CAST(power(2,
+                       CAST(regexp_extract(image_id, '/i/([0-9]+)$', 1) AS INT) % 40)
+                       AS BIGINT))
+              FROM base),
+            bands AS (
+              SELECT image_id, phash, i AS band_idx, (phash >> (i * 8)) & 255 AS band_val
+              FROM withvar CROSS JOIN generate_series(0, 7) AS t(i)),
+            cand AS (
+              SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                              a.phash AS pa, b.phash AS pb
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.image_id < b.image_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(pa, pb)) <= 7
+        """
+
+
 def q_j4_positional_join(spark, sf):
     """J4: positional explode (zip semantics) — (doc_id, pos, token)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
@@ -844,6 +880,28 @@ def q_ann_ivf_kmeans(spark, sf):
     return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, centroids=cents)
 
 
+def q_image_phash_neardup(spark, sf):
+    """Image near-dup pairs by phash Hamming LSH (8 bands, hamming<=7 —
+    100% recall by pigeonhole). The deterministic image fixtures have
+    near-uniform phashes, so each image also contributes a 1-bit-flipped
+    variant row (id suffixed '~v', flip bit = index % 40 — identically in
+    the oracle): the operator must recover exactly those planted pairs."""
+    from jobscrawler_spark.generators import gen_images
+    from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
+
+    base = spark.createDataFrame(
+        gen_images(256)[["image_id", "phash"]], "image_id string, phash long"
+    )
+    idx = F.regexp_extract("image_id", r"/i/([0-9]+)$", 1).cast("int")
+    variants = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.col("phash")
+        .bitwiseXOR(F.pow(F.lit(2.0), F.pmod(idx, F.lit(40))).cast("long"))
+        .alias("phash"),
+    )
+    return phash_near_dup_pairs(base.unionByName(variants))
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal decode + feature extraction over binary image columns
     (mapInPandas; engine codecs). Python decode -> rows-only check; the
@@ -1157,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact": q_text_redact,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "image_phash_neardup": q_image_phash_neardup,
         "crawl_round": q_crawl_round,
         "jobs_pipeline": q_jobs_pipeline,
         "embed_pipeline": q_embed_pipeline,
@@ -1569,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "image_phash_neardup": _phash_neardup_oracle(),
         "ann_ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS centroid_id, embedding AS c

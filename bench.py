@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_redact",
     "dedup_paragraphs",
+    "image_phash_neardup",
 ]
 
 

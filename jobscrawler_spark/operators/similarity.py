@@ -208,6 +208,68 @@ def ivf_topk(
     )
 
 
+def phash_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """IMAGE near-duplicate pairs by perceptual-hash Hamming distance —
+    the payload-side dedup a crawl landing image rows needs (the text
+    side has MinHash/SimHash; this is their pixel-space sibling over the
+    engine's 64-bit phash column).
+
+    Banded LSH on the hash itself: split the 64-bit phash into
+    ``n_bands`` contiguous bands, bucket-join on (band_idx, band_val),
+    then exact-filter candidates with ``bit_count(xor) <= max_hamming``.
+    Pigeonhole guarantee: two hashes within Hamming distance
+    ``n_bands - 1`` MUST agree on at least one band, so recall is 100%
+    for ``max_hamming <= n_bands - 1`` (the default 7 with 8 bands) —
+    never an all-pairs cross join. At 10^10 images the band bucket is a
+    uniform 8-bit + band-idx key: one shuffle, bounded buckets.
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col(phash_col), i * width).bitwiseAND(F.lit(mask)).alias(
+                    "band_val"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = images.select(
+        F.col(id_col), F.col(phash_col), F.explode(bands).alias("b")
+    ).select(id_col, phash_col, "b.band_idx", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{phash_col}").alias("_pa"),
+            F.col(f"b.{phash_col}").alias("_pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

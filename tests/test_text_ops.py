@@ -81,6 +81,32 @@ def test_paragraph_dup_stats_shared_footer(spark):
     assert rows[3]["n_paras"] == 1 and rows[3]["n_shared_paras"] == 0
 
 
+def test_phash_near_dup_recall_guarantee(spark):
+    """8 bands + hamming<=7: every pair within distance 7 MUST be found
+    (pigeonhole), and distant pairs must not be."""
+    from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
+
+    def signed(v):  # wrap to int64 (phash is a signed long)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x123456789ABCDEF0
+    spread = (1 << 63) | (1 << 40) | (1 << 17) | (1 << 3) | (1 << 9) | (1 << 30) | 1
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b1011011),  # hamming 5 from a -> must pair
+        ("c", signed(base ^ spread)),  # hamming 7, bits spread across bands
+        ("d", -0x7EDCBA9876543211),  # far away (negative phash exercised)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df).collect()
+    }
+    assert got[("a", "b")] == 5
+    assert got[("a", "c")] == 7
+    assert ("a", "d") not in got and ("b", "d") not in got
+
+
 def test_paragraph_dup_normalizes_whitespace_and_case(spark):
     docs = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD")],
