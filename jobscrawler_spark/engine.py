@@ -173,6 +173,7 @@ class CrawlEngine:
         re-arms."""
         self._write_dim("politeness", politeness, POLITENESS)
         self._any_delays = None
+        self._n_salts = None  # budget-derived salts re-derive from the new dim
 
     def _has_delays(self) -> bool:
         """Cached once per engine: whether ANY host has a crawl delay — when
@@ -184,6 +185,22 @@ class CrawlEngine:
             )
         return self._any_delays
 
+    def _salts(self) -> int:
+        """Cached once per engine (re-derived after update_politeness):
+        salt count from the dim's MAX per-host budget via auto_salt_buckets
+        — a 10^5-budget host spreads over ~budget/4096 fetch tasks instead
+        of a fixed 16 (r3 verdict item 7). One tiny agg over the
+        coalesce(1) dim, once per crawl."""
+        if getattr(self, "_n_salts", None) is None:
+            from .operators.frontier import auto_salt_buckets
+
+            mx = (
+                self._politeness().agg(F.max("max_fetches_per_round")).collect()[0][0]
+                or 0
+            )
+            self._n_salts = auto_salt_buckets(max(int(mx), self.default_budget))
+        return self._n_salts
+
     # ----------------------------------------------------------- round loop
     def run_round(self) -> dict:
         r = self.next_round
@@ -192,10 +209,15 @@ class CrawlEngine:
         frontier_df = self.frontier.read(self.spark)
 
         eligible = frontier_df.filter(F.col("not_before_round") <= r)
-        selected = politeness_select(eligible, self._politeness(), self.default_budget)
+        n_salts = self._salts()
+        selected = politeness_select(
+            eligible, self._politeness(), self.default_budget, n_salts=n_salts
+        )
 
         fetched = run_fetch(
-            salted_repartition(selected, self.fetch_partitions), r, self.max_depth
+            salted_repartition(selected, self.fetch_partitions, n_salts=n_salts),
+            r,
+            self.max_depth,
         ).persist()
 
         # ONE aggregation covers every per-round statistic (keeping the

@@ -32,10 +32,11 @@ from ..schemas import FETCH_RESULT
 _COLS = [f.name for f in FETCH_RESULT.fields]
 
 
-def run_fetch(selected: DataFrame, round_no: int, max_depth: int) -> DataFrame:
-    """selected: (url, url_hash, host, shard, priority, depth, ...) ->
-    FETCH_RESULT rows. Non-200 URLs produce a row with null payload (they
-    still enter the seen set — a crawler must not refetch 403s)."""
+def make_fetch_batches(round_no: int, max_depth: int):
+    """The per-partition fetch computation as a reusable mapInPandas
+    generator builder — run_fetch wraps it directly; bench.py's
+    adversarial-skew phase wraps it with a per-partition timer to measure
+    straggler spread without duplicating the fetch logic."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -92,4 +93,13 @@ def run_fetch(selected: DataFrame, round_no: int, max_depth: int) -> DataFrame:
                 columns=_COLS,
             )
 
-    return selected.mapInPandas(fetch_batches, schema=FETCH_RESULT)
+    return fetch_batches
+
+
+def run_fetch(selected: DataFrame, round_no: int, max_depth: int) -> DataFrame:
+    """selected: (url, url_hash, host, shard, priority, depth, ...) ->
+    FETCH_RESULT rows. Non-200 URLs produce a row with null payload (they
+    still enter the seen set — a crawler must not refetch 403s)."""
+    return selected.mapInPandas(
+        make_fetch_batches(round_no, max_depth), schema=FETCH_RESULT
+    )

@@ -26,7 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-SALT_BUCKETS = 16
+SALT_BUCKETS = 16  # floor; auto_salt_buckets scales it with the budget
+TARGET_ROWS_PER_SALT = 4096
+
+
+def auto_salt_buckets(budget: int) -> int:
+    """Salt count derived from the per-host BUDGET (r3 verdict: a fixed 16
+    concentrates phase-2 windows when one host's budget is 10^5 — its
+    selected rows would land in at most 16 fetch tasks). With
+    budget/TARGET_ROWS_PER_SALT salts, a maxed-out host's selected rows
+    spread over ~TARGET_ROWS_PER_SALT-row tasks; the floor (16) keeps
+    small-budget crawls spread across workers and the cap (1024) bounds
+    the phase-2 exact window's input at salts x budget per host.
+
+    ANY salt count is correct: phase 1 caps each (host, salt) bucket at
+    the full budget, and the per-host top-B under (priority, url) ordering
+    is always contained in the union of per-salt top-Bs (tested over
+    budgets in tests/test_plans.py)."""
+    return max(SALT_BUCKETS, min(1024, budget // TARGET_ROWS_PER_SALT))
 
 
 def group_robots(robots: DataFrame) -> DataFrame:
@@ -69,20 +86,25 @@ def politeness_select(
     candidates: DataFrame,
     politeness: DataFrame,
     default_budget: int = 8,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Per-host top-budget selection ordered by (priority, url).
 
     ``politeness`` dim: (host, max_fetches_per_round, crawl_delay_rounds).
     Hosts missing from the dim get ``default_budget``. Budget 0 hosts are
     never selected. Applied BEFORE salting so salts can't violate budgets.
+    ``n_salts`` defaults to auto_salt_buckets(default_budget); the engine
+    passes the dim's max budget through auto_salt_buckets instead.
     """
+    if n_salts is None:
+        n_salts = auto_salt_buckets(default_budget)
     cand = candidates.join(
         F.broadcast(politeness.select("host", "max_fetches_per_round")), "host", "left"
     ).withColumn("__budget", F.coalesce(F.col("max_fetches_per_round"), F.lit(default_budget)))
 
     # phase 1: cheap local cap per (host, salt) — bounds the skewed host's
     # contribution to the exact window below
-    salt = F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
+    salt = F.pmod(F.col("url_hash"), F.lit(n_salts))
     w1 = Window.partitionBy("host", salt).orderBy("priority", "url")
     pruned = cand.withColumn("__rn1", F.row_number().over(w1)).filter(
         F.col("__rn1") <= F.col("__budget")
@@ -97,11 +119,16 @@ def politeness_select(
     )
 
 
-def salted_repartition(selected: DataFrame, n_partitions: int) -> DataFrame:
+def salted_repartition(
+    selected: DataFrame, n_partitions: int, n_salts: int | None = None
+) -> DataFrame:
     """Spread the selected round across workers by (host, salt) so one hot
-    host cannot serialize the fetch stage. Budgets were already enforced."""
+    host cannot serialize the fetch stage. Budgets were already enforced.
+    ``n_salts`` should match the politeness_select call (budget-derived)."""
+    if n_salts is None:
+        n_salts = SALT_BUCKETS
     return selected.repartition(
-        n_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
+        n_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(n_salts))
     )
 
 

@@ -100,6 +100,68 @@ def test_salting_spreads_hot_host(spark):
     assert selected.count() == 512  # budget exact despite salting
 
 
+def test_auto_salt_buckets_formula():
+    from jobscrawler_spark.operators.frontier import (
+        SALT_BUCKETS,
+        TARGET_ROWS_PER_SALT,
+        auto_salt_buckets,
+    )
+
+    assert auto_salt_buckets(0) == SALT_BUCKETS
+    assert auto_salt_buckets(8) == SALT_BUCKETS  # small budgets keep the floor
+    assert auto_salt_buckets(100_000) == 100_000 // TARGET_ROWS_PER_SALT
+    assert auto_salt_buckets(10**8) == 1024  # capped: phase-2 input bounded
+
+
+@pytest.mark.parametrize("budget", [2, 64, 997])
+def test_politeness_select_exact_across_salt_counts(spark, budget):
+    """Correctness of the two-phase top-k is salt-count INVARIANT: for any
+    budget (and its auto-derived salt count, plus adversarial counts 1 and
+    977-coprime) the selected set equals the direct exact per-host window.
+    Pins r4's budget-derived auto_salt_buckets against the phase-1-cap
+    containment argument (top-B ⊆ union of per-salt top-Bs)."""
+    from pyspark.sql import Window
+
+    from jobscrawler_spark.operators.frontier import auto_salt_buckets
+
+    n = 3000
+    seeds = pd.DataFrame(
+        {
+            "url": [f"http://h{i % 3:02d}.example.com/p/{i}" for i in range(n)],
+            "priority": [float((i * 37) % 997) / 997 for i in range(n)],
+            "depth": 0,
+        }
+    )
+    cand = with_canonical(spark.createDataFrame(seeds))
+    pol = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h00.example.com"],
+                "max_fetches_per_round": [budget * 2],  # per-host override path
+                "crawl_delay_rounds": [0],
+            }
+        )
+    )
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    budget_col = F.when(
+        F.col("host") == "h00.example.com", F.lit(budget * 2)
+    ).otherwise(F.lit(budget))
+    exact = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= budget_col)
+        .select("url")
+    )
+    expected = sorted(r["url"] for r in exact.collect())
+    for salts in (1, auto_salt_buckets(budget), 977):
+        got = sorted(
+            r["url"]
+            for r in politeness_select(cand, pol, budget, n_salts=salts)
+            .select("url")
+            .collect()
+        )
+        assert got == expected, (budget, salts)
+
+
 def test_asof_join_single_shuffle_no_range_join(spark):
     """The as-of join must plan as union + one window sort per key — never
     a broadcast-nested-loop or cartesian range join."""
@@ -131,7 +193,7 @@ def test_range_join_is_equi_join(spark):
 def test_dedup_joins_never_cartesian(spark):
     """Every dedup/ANN candidate join must be bucket/band-keyed."""
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                 "dedup_embedding_cosine", "ann_lsh_topk"):
+                 "dedup_embedding_cosine", "image_dedup_clusters"):
         p = _plan(E.queries()[name](spark, SF))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
