@@ -89,6 +89,7 @@ class CrawlEngine:
         max_tombstone_rows: int = 10_000_000,
         prefilter: str = "bloom",  # or "cuckoo" (north_star's alternative)
         seen_partition_writes: bool = True,
+        frontier_partition_writes: bool = True,
     ):
         self.spark = spark
         self.base = base_path
@@ -108,6 +109,7 @@ class CrawlEngine:
             f"{base_path}/frontier",
             compact_every=compact_every,
             max_tombstone_rows=max_tombstone_rows,
+            partition_writes=frontier_partition_writes,
         )
         self.images = SnapshotTable(f"{base_path}/images", IMAGES_LANDED)
         self.metrics = SnapshotTable(f"{base_path}/metrics", ROUND_METRICS)
@@ -285,16 +287,32 @@ class CrawlEngine:
             # shard cogroup — url determines shard, so it is shard-local
             links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
             # within-frontier dedupe: a link already pending must not
-            # re-enter (frontier_df is bound to the round-start snapshot)
-            links = links.join(
-                frontier_df.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-            )
-            new_rows = (
-                links.withColumn("not_before_round", F.lit(r + 1))
-                .withColumn("attempts", F.lit(0))
-                .select([f.name for f in FRONTIER.fields])
-            )
-            return self.frontier.insert(new_rows, r)
+            # re-enter (frontier_df is bound to the round-start snapshot).
+            # The anti-join's frontier side is PRUNED to the link batch's
+            # hit shards (r4): the rows store is hive-partitioned by shard,
+            # so the shard IN-list is a file-level partition prune — the
+            # last O(frontier)-per-round read becomes O(hit shards). The
+            # links cache + shard collect are one small job over O(round)
+            # rows; at 2^14 shards a small round hits a handful of shards.
+            links_cached = links.persist()
+            hit_shards = [
+                row["shard"] for row in links_cached.select("shard").distinct().collect()
+            ]
+            if hit_shards:
+                pending = frontier_df.filter(F.col("shard").isin(hit_shards)).select(
+                    "url_hash", "url"
+                )
+                fresh = links_cached.join(pending, ["url_hash", "url"], "left_anti")
+                new_rows = (
+                    fresh.withColumn("not_before_round", F.lit(r + 1))
+                    .withColumn("attempts", F.lit(0))
+                    .select([f.name for f in FRONTIER.fields])
+                )
+                n_ins = self.frontier.insert(new_rows, r)
+            else:
+                n_ins = 0
+            links_cached.unpersist()
+            return n_ins
 
         with ThreadPoolExecutor(6) as ex:
             f_images = ex.submit(self.images.append, landed, {"round": r})

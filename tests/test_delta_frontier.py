@@ -151,3 +151,55 @@ def test_resume_across_compaction_matches_oracle(spark, tmp_path):
     assert {r["url"] for r in eng2.seen.all_urls(spark).collect()} == ora.seen
     got = [(r["round"], r["url"]) for r in eng2.fetch_log().select("round", "url").collect()]
     assert got == [(d["round"], d["url"]) for d in ora.landed]
+
+
+def test_frontier_store_shard_partitioned_and_pruned(spark, tmp_path):
+    """R4: the rows store is hive-partitioned by shard, and a shard-filtered
+    frontier read (the engine's pending-dedupe anti-join prunes to the link
+    batch's hit shards) reaches the parquet scan as a PARTITION filter —
+    file-level pruning, not a full-frontier scan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    seeds, pol, rob = _fixtures()
+    eng = CrawlEngine(spark, str(tmp_path / "pp"), **ARGS)
+    eng.bootstrap(seeds, pol, rob)
+    eng.run(2)  # bootstrap overwrite + per-round inserts, all partitioned
+
+    snaps = eng.frontier.rows.snapshots()
+    assert all(s.get("partition_by") == "shard" for s in snaps), snaps
+
+    pruned = eng.frontier.read(spark).filter(F.col("shard").isin([1, 2]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters, plan
+    assert any("shard" in l and "[]" not in l.replace("[],", "") for l in part_filters)
+    # every rows-store scan in the plan carries the shard partition filter
+    rows_scans = [l for l in part_filters if "shard" in l]
+    assert rows_scans
+    # and the filtered read returns exactly the matching shards
+    got = {r["shard"] for r in pruned.select("shard").distinct().collect()}
+    assert got <= {1, 2}
+
+
+def test_frontier_flat_layout_lever_equivalent(spark, tmp_path):
+    """frontier_partition_writes=False (the A/B cost lever) must produce
+    the identical crawl: same fetch order, seen set, and frontier state."""
+    seeds, pol, rob = _fixtures()
+    eng = CrawlEngine(
+        spark, str(tmp_path / "flat"), frontier_partition_writes=False, **ARGS
+    )
+    eng.bootstrap(seeds, pol, rob)
+    eng.run(3)
+    ora = _oracle(seeds, pol, rob, 3)
+    assert {r["url"] for r in eng.seen.all_urls(spark).collect()} == ora.seen
+    got = [(r["round"], r["url"]) for r in eng.fetch_log().select("round", "url").collect()]
+    assert got == [(d["round"], d["url"]) for d in ora.landed]
+    assert not any(
+        "partition_by" in s for s in eng.frontier.rows.snapshots()
+    )

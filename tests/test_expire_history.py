@@ -30,9 +30,10 @@ def test_expire_history_bounds_disk_and_preserves_results(spark, tmp_path):
 
     # bounded history: expiry keeps only snapshots since the last overwrite
     # (the round-1 compaction); without it, bootstrap + one append per
-    # non-empty round stay live
+    # round WITH discovered links stay live (r4: link-less rounds skip the
+    # empty insert entirely — with max_depth=1 only round 0 discovers)
     assert len(b.frontier.rows.snapshots()) == 1
-    assert len(a.frontier.rows.snapshots()) >= 3
+    assert len(a.frontier.rows.snapshots()) >= 2
     # the bloom table is overwrite-per-round — bounded too
     assert len(b.seen.bloom.snapshots()) == 1
     assert len(a.seen.bloom.snapshots()) >= 2  # one per non-empty round
