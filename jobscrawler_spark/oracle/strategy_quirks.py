@@ -100,6 +100,16 @@ def simulate_rss_seen_probe(link_tag: str = "link") -> str:
     return link_tag
 
 
+def simulate_embed_prefix(text: str) -> str:
+    """Quirk 8 (SURVEY §3.4): the reference embeds PASSAGES with the
+    ``"query: "`` prefix — embed_latest_crawled_data.py:228 calls
+    query_e5_format, while passage_e5_format (e5_base_v2_utils.py:85-89)
+    is defined but NEVER called. The clean engine uses the intended
+    ``"passage: "`` prefix (embeddings_pipeline.py), a documented
+    [DIVERGE] pinned by test_strategy_quirks."""
+    return f"query: {text}"
+
+
 def simulate_container(cfg: dict, bodies: dict[str, str]) -> list[dict]:
     """Quirk 4: zip truncation to the shortest of the four element lists."""
     rows = []

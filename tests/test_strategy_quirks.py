@@ -143,3 +143,39 @@ def test_quirk4_container_truncation_agrees(spark):
     assert [(r["title"], r["link"], r["location"]) for r in clean] == [
         (q["title"], q["link"], q["location"]) for q in quirky
     ]
+
+
+def test_quirk8_embed_prefix_diverges(spark):
+    """[DIVERGE] quirk 8: the reference embeds passages with the "query: "
+    prefix (query_e5_format at embed_latest_crawled_data.py:228;
+    passage_e5_format exists but is never called). The sim is
+    reference-faithful; the engine's embed pipeline intentionally uses the
+    e5-correct "passage: " prefix on the SAME wrapped text."""
+    from pyspark.sql import functions as F
+
+    from jobscrawler_spark.functions.cleaning import embed_prepare
+    from jobscrawler_spark.oracle.strategy_quirks import simulate_embed_prefix
+
+    df = spark.createDataFrame(
+        [(1, "Engineer", "Build crawlers", "Berlin")],
+        "id int, title string, description string, location string",
+    )
+    wrapped = df.select(
+        embed_prepare(
+            F.col("title"), F.col("description"), F.col("location"), max_tokens=100
+        ).alias("w")
+    ).collect()[0]["w"]
+    engine_info = df.select(
+        F.concat(
+            F.lit("passage: "),
+            embed_prepare(
+                F.col("title"), F.col("description"), F.col("location"), max_tokens=100
+            ),
+        ).alias("job_info")
+    ).collect()[0]["job_info"]
+    sim_info = simulate_embed_prefix(wrapped)
+
+    assert sim_info == f"query: {wrapped}"          # reference-faithful
+    assert engine_info == f"passage: {wrapped}"     # intended semantics
+    assert sim_info.split(" ", 1)[1] == engine_info.split(" ", 1)[1]  # same payload
+    assert sim_info != engine_info                   # the divergence is real
