@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "image_phash_neardup",
     "image_dedup_clusters",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "corpus_mix",
 ]
 
 

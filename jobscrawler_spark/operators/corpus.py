@@ -1,0 +1,174 @@
+"""Corpus-assembly operators: decontamination, sequence packing, mixing.
+
+The three steps between "deduped, filtered documents" and "training
+batches" that a 100 TB pipeline runs after the dedup/quality family
+(operators/dedupe.py, functions/text.py). The reference has nothing like
+them (its corpus is the jobs table, reference: src/crawler.py:172-244);
+these are north-rule training-data extensions, each expressed so a DuckDB
+SQL oracle verifies it exactly:
+
+- **decontamination**: flag documents sharing >= ``min_shared`` distinct
+  word ``n``-grams with any benchmark/eval document — the standard
+  test-set-overlap removal. Candidates come from an equi-join on the
+  md5 gram key (never all-pairs); a document-frequency cap drops
+  stop-grams before the join, exactly like ngram_jaccard_pairs.
+- **sequence packing**: concatenate documents into fixed token-budget
+  bins (the GPT-style "concat then chunk" batch layout), greedily in
+  deterministic (group, doc_id) order via a window cumulative sum.
+  Packing is PER GROUP (source by default) so the window is partitioned —
+  a global-order pack would serialize on one partition at 10^10 docs;
+  per-source packing streams, and training shuffles bins anyway.
+- **weighted mixing**: per-source sampling rates (the "data mixture"), as
+  deterministic md5-threshold sampling — the hex prefix of
+  md5('mix|' || doc_id) is compared against a per-source 8-hex-digit
+  threshold string precomputed from the rate, so the decision is a pure
+  string compare (bit-identical in Spark, DuckDB, and any re-run —
+  rand() is none of those).
+
+Scale notes (100 TB): decontamination's only shuffle is the gram-key
+equi-join (uniform md5 key, DF-capped buckets; the benchmark side is
+small — broadcastable); packing is one partitioned window (shuffle on the
+group key); mixing is map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens_col
+
+MIX_SALT = "mix|"
+HEX_SPAN = 16**8  # md5 8-hex-digit prefix space
+
+
+def _gram_hashes(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram md5) — distinct word n-grams per document."""
+    toks = tokens_col(F.col(text_col))
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("__g"))
+        .filter(F.col("__g") != "")
+        .select(id_col, F.md5("__g").alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate_ngram(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    min_shared: int = 1,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared_grams) for every contaminated pair —
+    documents sharing >= ``min_shared`` distinct ``n``-grams with a
+    benchmark document (callers anti-join docs against the doc_id side to
+    drop them). 8-grams are the published decontamination practice: long
+    enough that organic collisions are negligible, short enough to catch
+    quoted spans.
+
+    ``max_doc_freq`` caps the CORPUS-side document frequency of a gram
+    before the join (a boilerplate 8-gram in 10^6 docs would create a
+    10^6 x |bench| bucket); the cap is part of the contract and the
+    oracle mirrors it.
+    """
+    dg = _gram_hashes(docs, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            dg.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("gram")
+        )
+        dg = dg.join(rare, "gram")
+    bg = _gram_hashes(benchmark, text_col, bench_id_col, n)
+    return (
+        dg.join(bg, "gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Assign each document to a token-budget bin: documents are laid out
+    in deterministic (group, doc_id) order, token counts cumulate, and a
+    document belongs to bin floor(preceding_total / budget) within its
+    group — the concat-then-chunk layout (documents longer than the
+    budget occupy ceil(n/budget) bins and still get one assignment row).
+
+    Returns (group, doc_id, n_tokens, bin_id, bin_offset): ``bin_offset``
+    is the document's start position inside its bin. One shuffle (the
+    window partition on ``group_col``); bins are only comparable WITHIN a
+    group, which is exactly what keeps the window partitioned at scale.
+    """
+    n_tok = token_count(F.col(text_col))
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    preceding = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        docs.select(F.col(group_col), F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("__pre", preceding)
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.floor(F.col("__pre") / budget).cast("int").alias("bin_id"),
+            F.pmod(F.col("__pre"), F.lit(budget)).cast("int").alias("bin_offset"),
+        )
+    )
+
+
+def mix_threshold_hex(rate: float) -> str:
+    """The 8-hex-digit threshold string for a sampling rate — computed
+    driver-side so BOTH engines decide by pure string comparison.
+    rate >= 1.0 returns 'g' (lexicographically above every hex prefix,
+    keep-everything) because format(2^32) would be 9 chars and 8-char
+    prefixes compare against it by FIRST character, not value."""
+    t = max(0, min(HEX_SPAN, int(round(rate * HEX_SPAN))))
+    if t >= HEX_SPAN:
+        return "g"
+    return format(t, "08x")
+
+
+def weighted_mix(
+    docs: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source downsampling to the data-mixture rates.
+
+    ``rates``: (source, threshold_hex) — build with mix_threshold_hex.
+    A document survives iff the md5 hex prefix of 'mix|<id>' is strictly
+    below its source's threshold (missing sources keep everything). The
+    decision depends only on the document id, so re-runs, engines, and
+    partitionings all agree; expected survivor share per source == rate.
+    Map-side except the broadcast rates join.
+    """
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(MIX_SALT), F.col(id_col).cast("string"))), 1, 8
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col, "left")
+        .withColumn("__p", prefix)
+        .filter(
+            F.col("threshold_hex").isNull() | (F.col("__p") < F.col("threshold_hex"))
+        )
+        .drop("threshold_hex", "__p")
+    )
