@@ -365,11 +365,10 @@ def run_skew_bench(spark, cores: int) -> dict:
             }
         )
 
-    salts = auto_salt_buckets(n)
     out = {"seeds": n, "hot_share": 0.5, "n_partitions": n_parts,
-           "salt_buckets": salts}
+           "salt_buckets": max(16, 16 * n_parts), "politeness_salts": auto_salt_buckets(n)}
     for variant, df in (
-        ("salted", salted_repartition(selected, n_parts, n_salts=salts)),
+        ("salted", salted_repartition(selected, n_parts)),
         ("unsalted", selected.repartition(n_parts, "host")),
     ):
         walls = [
@@ -536,8 +535,9 @@ def write_baseline_md(
             "## Adversarial host skew (one host owns 50% of the round)",
             "",
             f"{skew['seeds']} selected URLs, hot host share {skew['hot_share']}, "
-            f"{skew['n_partitions']} fetch partitions, auto-derived "
-            f"{skew['salt_buckets']} salts (auto_salt_buckets). Per-partition wall of",
+            f"{skew['n_partitions']} fetch partitions, {skew['salt_buckets']} fetch "
+            f"salts (16/partition, decoupled from the {skew['politeness_salts']} "
+            "budget-derived politeness salts). Per-partition wall of",
             "the REAL fetch compute (make_fetch_batches wrapped with a timer),",
             "salted (host, salt) repartition vs the unsalted (host-only)",
             "counterfactual — the straggler bound the politeness/salting design",

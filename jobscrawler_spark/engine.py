@@ -216,10 +216,11 @@ class CrawlEngine:
             eligible, self._politeness(), self.default_budget, n_salts=n_salts
         )
 
+        # fetch salt intentionally NOT the politeness salt: budgets are
+        # already enforced, so the repartition salt is distribution-only
+        # and auto-scales with fetch_partitions (salted_repartition)
         fetched = run_fetch(
-            salted_repartition(selected, self.fetch_partitions, n_salts=n_salts),
-            r,
-            self.max_depth,
+            salted_repartition(selected, self.fetch_partitions), r, self.max_depth
         ).persist()
 
         # ONE aggregation covers every per-round statistic (keeping the
