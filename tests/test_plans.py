@@ -203,3 +203,19 @@ def test_shuffle_join_pushdown_both_sides(spark):
     p = _plan(E.q_j_shuffle_join(spark, SF))
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
     assert "LessThan(o_orderdate" in p
+
+
+def test_corpus_ops_plans(spark):
+    """R4 corpus operators: decontamination joins only on the gram key
+    (never cartesian), packing shuffles once on the group key, mixing's
+    only join is the broadcast rates dim (fact side never shuffles)."""
+    p = _plan(E.q_decontaminate_ngram(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = _plan(E.q_pack_sequences(spark, SF))
+    exchanges = [l for l in p.splitlines() if "hashpartitioning(" in l]
+    assert len(exchanges) == 1 and "source" in exchanges[0], exchanges
+
+    p = _plan(E.q_corpus_mix(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(" not in p, p
