@@ -50,11 +50,12 @@ def _gram_hashes(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    # (id, gram) is already unique via the map-side array_distinct — no
+    # cross-doc .distinct() shuffle needed
     return (
         docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("__g"))
         .filter(F.col("__g") != "")
         .select(id_col, F.md5("__g").alias("gram"))
-        .distinct()
     )
 
 
@@ -80,7 +81,17 @@ def decontaminate_ngram(
     10^6 x |bench| bucket); the cap is part of the contract and the
     oracle mirrors it.
     """
-    dg = _gram_hashes(docs, text_col, id_col, n)
+    bg = _gram_hashes(benchmark, text_col, bench_id_col, n)
+    # restrict the corpus side to grams that occur in the benchmark FIRST
+    # (broadcast semi-join; eval sets are small by construction): the DF
+    # cap then aggregates only the matched grams' occurrences instead of
+    # the full corpus gram set — identical semantics (a gram's document
+    # frequency counts all its corpus rows, and every row of a matched
+    # gram survives the semi-join; unmatched grams never reach the output
+    # so their cap decision is irrelevant)
+    dg = _gram_hashes(docs, text_col, id_col, n).join(
+        F.broadcast(bg.select("gram").distinct()), "gram", "left_semi"
+    )
     if max_doc_freq is not None:
         rare = (
             dg.groupBy("gram")
@@ -89,7 +100,6 @@ def decontaminate_ngram(
             .select("gram")
         )
         dg = dg.join(rare, "gram")
-    bg = _gram_hashes(benchmark, text_col, bench_id_col, n)
     return (
         dg.join(bg, "gram")
         .groupBy(id_col, bench_id_col)

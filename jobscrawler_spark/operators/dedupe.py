@@ -116,11 +116,13 @@ def shingles_df(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     )
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    # per-doc distinctness comes from the MAP-SIDE array_distinct before
+    # the explode; (doc_id, shingle) is therefore already unique and a
+    # trailing .distinct() would re-shuffle the whole exploded set for
+    # nothing (removed r4 — one shuffle off every shingle consumer)
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.col("shingle") != "")
 
 
 def minhash_signatures(
