@@ -1,0 +1,158 @@
+"""Deterministic byte-pair-encoding tokenizer (train + distributed encode).
+
+The reference counts and truncates tokens with the e5 tokenizer
+(reference: src/embeddings/e5_base_v2_utils.py:37-56). No pretrained
+tokenizer ships in this sandbox, so functions/text.py carries a
+whitespace/regex proxy — this module closes most of that fidelity gap
+with a REAL BPE: the same algorithm family, trained from scratch,
+deterministic end to end:
+
+- **train_bpe**: classic word-internal BPE over a corpus sample. Words
+  are whitespace tokens + an end-of-word marker; each step merges the
+  most frequent adjacent symbol pair, ties broken lexicographically —
+  no dict-order or hash dependence, so two trainings on the same sample
+  are identical (mirrors the kmeans_codebook determinism contract,
+  operators/similarity.py).
+- **encode**: lowest-merge-rank-first greedy application (the standard
+  BPE encode), pure Python per word with an LRU word cache.
+- **encode_docs**: the distributed path — merges (a few KB) ship in the
+  mapInPandas closure (broadcast-equivalent), encoding runs over Arrow
+  batches; one pass, no shuffle.
+
+Scale note (100 TB): training reads a bounded driver-side sample
+(``sample_n`` docs — the standard practice for corpus tokenizers);
+encoding is embarrassingly parallel map-side work. Swap point for a
+production tokenizer (tiktoken / HF) unchanged: replace encode() inside
+the same batch loop.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+EOW = "</w>"
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in text.strip().split() if w]
+
+
+def train_bpe(texts: list[str], n_merges: int = 256) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` merge rules from ``texts``.
+
+    Deterministic: word counts are exact; the merged pair is the
+    (count DESC, pair ASC) maximum, so equal-count ties resolve
+    lexicographically regardless of iteration order.
+    """
+    word_freq = Counter()
+    for t in texts:
+        word_freq.update(_words(t))
+    # each distinct word as a symbol tuple, weighted by its frequency
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + (EOW,): c for w, c in word_freq.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        if top < 2:
+            break  # nothing repeats; further merges are noise
+        # (count DESC, pair ASC): lexicographically smallest among the
+        # most frequent — deterministic regardless of counter order
+        pair = min(p for p, c in pairs.items() if c == top)
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe_on_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 256,
+    sample_n: int = 2048,
+) -> list[tuple[str, str]]:
+    """Train on the DETERMINISTIC sample (the ``sample_n`` lowest ids) —
+    same sampling contract as similarity.kmeans_codebook."""
+    pdf = docs.select(id_col, text_col).orderBy(id_col).limit(sample_n).toPandas()
+    return train_bpe(list(pdf[text_col]), n_merges)
+
+
+def _make_encoder(merges: list[tuple[str, str]]):
+    rank = {p: i for i, p in enumerate(merges)}
+
+    @lru_cache(maxsize=65536)
+    def encode_word(word: str) -> tuple[str, ...]:
+        sym = tuple(word) + (EOW,)
+        while len(sym) > 1:
+            ranked = [
+                (rank[(a, b)], i)
+                for i, (a, b) in enumerate(zip(sym, sym[1:]))
+                if (a, b) in rank
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)  # lowest rank wins; leftmost on rank ties
+            sym = sym[:i] + (sym[i] + sym[i + 1],) + sym[i + 2 :]
+        return sym
+
+    return encode_word
+
+
+def encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """BPE-encode one text (token list; EOW markers kept on final symbols)."""
+    enc = _make_encoder(merges)
+    out: list[str] = []
+    for w in _words(text):
+        out.extend(enc(w))
+    return out
+
+
+def encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bpe_tokens, bpe_tokens) via mapInPandas — the distributed
+    encode; ``merges`` rides the closure (a few KB)."""
+
+    def run(batches):
+        enc = _make_encoder(merges)
+        for pdf in batches:
+            toks = [
+                [s for w in _words(t or "") for s in enc(w)] for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bpe_tokens": pd.array([len(t) for t in toks], dtype="Int32"),
+                    "bpe_tokens": toks,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, n_bpe_tokens int, bpe_tokens array<string>"
+    )

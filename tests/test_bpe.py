@@ -1,0 +1,91 @@
+"""BPE tokenizer: deterministic training, correct greedy encode, and the
+distributed (mapInPandas) path matching the local encoder exactly."""
+
+import pandas as pd
+
+from jobscrawler_spark.functions.bpe import (
+    EOW,
+    encode,
+    encode_docs,
+    train_bpe,
+    train_bpe_on_docs,
+)
+
+
+def test_train_merges_by_frequency_then_lexicographic():
+    # 'ab' occurs 4x within words; ('a','b') must be the first merge.
+    merges = train_bpe(["abx aby", "abz abw"], n_merges=1)
+    assert merges == [("a", "b")]
+    # tie-break: 'xy' and 'ab' both twice -> lexicographically smaller first
+    merges = train_bpe(["abq xyr", "abs xyt"], n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_training_is_deterministic_and_order_invariant():
+    texts = [f"token{i % 7} shared shared prefix{i % 3}" for i in range(50)]
+    a = train_bpe(texts, n_merges=64)
+    b = train_bpe(list(reversed(texts)), n_merges=64)
+    assert a == b
+    assert len(a) > 0
+
+
+def test_encode_reconstructs_characters():
+    texts = ["the crawler fetched the page", "the fetcher crawled"]
+    merges = train_bpe(texts, n_merges=32)
+    for t in texts + ["unseen words entirely"]:
+        toks = encode(t, merges)
+        flat = "".join(toks).replace(EOW, " ").strip()
+        assert flat == " ".join(t.split())
+        # every word ends at an EOW boundary
+        assert toks[-1].endswith(EOW)
+
+
+def test_encode_applies_lowest_rank_first():
+    # merges learned: ('a','b') then ('ab','c') — 'abc' becomes one symbol
+    merges = [("a", "b"), ("ab", "c"), ("c", EOW)]
+    assert encode("abc", merges) == ["abc" + EOW] or encode("abc", merges) == [
+        "abc",
+        EOW,
+    ]
+    # a word with no applicable merges stays at character level
+    toks = encode("xyz", merges)
+    assert toks == ["x", "y", "z", EOW]
+
+
+def test_merged_tokens_never_exceed_char_count():
+    texts = ["aa aa aa bb", "aa bb cc"]
+    merges = train_bpe(texts, n_merges=16)
+    for t in texts:
+        n_chars = len(t.replace(" ", "")) + len(t.split())  # + EOW markers
+        assert len(encode(t, merges)) <= n_chars
+
+
+def test_distributed_encode_matches_local(spark):
+    rows = [(i, f"doc {i % 5} shares shared tokens token{i % 4}") for i in range(200)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    merges = train_bpe_on_docs(docs, n_merges=64, sample_n=100)
+    # training twice on the same sample is identical
+    assert merges == train_bpe_on_docs(docs, n_merges=64, sample_n=100)
+
+    out = {r["doc_id"]: list(r["bpe_tokens"]) for r in encode_docs(docs, merges).collect()}
+    for i, t in rows:
+        assert out[i] == encode(t, merges), i
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in encode_docs(docs, merges).collect()
+    }
+    for i, t in rows:
+        assert counts[i] == len(encode(t, merges))
+
+
+def test_sf_corpus_compression(spark):
+    """On the real fixture corpus the learned BPE must actually compress:
+    fewer tokens than characters, more than whitespace words."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe_on_docs(docs, n_merges=128, sample_n=200)
+    enc = encode_docs(docs.limit(50), merges).collect()
+    pdf = docs.limit(50).toPandas().set_index("doc_id")
+    for r in enc:
+        text = pdf.loc[r["doc_id"], "text"]
+        n_words = len(text.split())
+        n_chars = len(text)
+        assert n_words <= r["n_bpe_tokens"] <= n_chars + n_words
