@@ -948,28 +948,11 @@ def q_image_dedup_clusters(spark, sf):
     uniform-key shuffle, never all-pairs), components is pointer-doubling
     hash joins (O(log d) rounds), and the label/size joins are uniform-key
     equi-joins — no step materializes more than O(images + pairs) rows."""
-    from jobscrawler_spark.operators.components import connected_components
+    from jobscrawler_spark.operators.components import label_clusters
     from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
 
     imgs = _phash_fixture_df(spark)
-    pairs = phash_near_dup_pairs(imgs)
-    comps = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    ).withColumnRenamed("node", "image_id")
-    labeled = (
-        imgs.select("image_id")
-        .join(comps, "image_id", "left")
-        .select(
-            "image_id", F.coalesce("component", F.col("image_id")).alias("component")
-        )
-    )
-    sizes = labeled.groupBy("component").agg(F.count("*").alias("n_members"))
-    return labeled.join(sizes, "component").select(
-        "image_id",
-        "component",
-        "n_members",
-        (F.col("image_id") == F.col("component")).alias("is_survivor"),
-    )
+    return label_clusters(imgs, phash_near_dup_pairs(imgs), "image_id")
 
 
 def q_decontaminate_ngram(spark, sf):

@@ -444,3 +444,20 @@ class CrawlEngine:
         """Landed fetches in the deterministic order contract
         (round, priority, url)."""
         return self.images_df().orderBy("round", "priority", "url")
+
+    def image_dedup_report(self, max_hamming: int = 7) -> DataFrame:
+        """Post-crawl image dedup over the landed images table: phash
+        near-dup pairs (banded Hamming LSH) -> connected components ->
+        survivor labeling. (image_id, component, n_members, is_survivor);
+        downstream corpus builds keep is_survivor rows (the reference's
+        ON CONFLICT exact-key image dedupe, src/crawler.py:199-219,
+        upgraded to near-duplicate clusters). Plan: one banded self-join
+        + O(log d) pointer-doubling rounds + two uniform-key joins —
+        never all-pairs (SCALING.md "Training-data operators")."""
+        from .operators.components import label_clusters
+        from .operators.similarity import phash_near_dup_pairs
+
+        imgs = self.images_df().select("image_id", "phash")
+        return label_clusters(
+            imgs, phash_near_dup_pairs(imgs, max_hamming=max_hamming), "image_id"
+        )

@@ -86,6 +86,32 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def label_clusters(
+    items: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Near-dup PAIRS -> full-corpus cluster labels + survivors: every
+    item gets (id, component, n_members, is_survivor) where component is
+    the min reachable id (singletons label themselves) and the survivor
+    is the component's min id. Shared by the image_dedup_clusters gate and
+    CrawlEngine.image_dedup_report; two uniform-key equi-joins beyond the
+    pointer-doubling rounds."""
+    comps = connected_components(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    ).withColumnRenamed("node", id_col)
+    labeled = (
+        items.select(id_col)
+        .join(comps, id_col, "left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("n_members"))
+    return labeled.join(sizes, "component").select(
+        id_col,
+        "component",
+        "n_members",
+        (F.col(id_col) == F.col("component")).alias("is_survivor"),
+    )
+
+
 def components_py(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find oracle (tests): node -> min reachable node id."""
     parent: dict[int, int] = {}

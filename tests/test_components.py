@@ -57,3 +57,65 @@ def test_components_cluster_minhash_pairs(spark):
     assert comp.get(0) == comp.get(1) == comp.get(2) == 0
     assert comp.get(10) == comp.get(11) == 10
     assert 20 not in comp
+
+
+def test_label_clusters_handcrafted(spark):
+    from pyspark.sql import Row
+
+    from jobscrawler_spark.operators.components import label_clusters
+
+    items = spark.createDataFrame(
+        [Row(image_id=x) for x in ["a", "b", "c", "d", "e"]]
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = {r["image_id"]: (r["component"], r["n_members"], r["is_survivor"])
+           for r in label_clusters(items, pairs, "image_id").collect()}
+    assert out == {
+        "a": ("a", 3, True),
+        "b": ("a", 3, False),
+        "c": ("a", 3, False),
+        "d": ("d", 1, True),   # singleton labels itself
+        "e": ("e", 1, True),
+    }
+
+
+def test_engine_image_dedup_report(spark, tmp_path):
+    """Post-crawl dedup over the real landed table: organic payloads are
+    unique (all singleton survivors); a planted 1-bit phash variant row
+    must merge into a 2-cluster with the original as survivor."""
+    from pyspark.sql import functions as F
+
+    from jobscrawler_spark.engine import CrawlEngine
+    from jobscrawler_spark.generators import gen_politeness, gen_robots, gen_seeds
+
+    eng = CrawlEngine(spark, str(tmp_path / "idr"), n_shards=4, default_budget=6,
+                      max_depth=0)
+    eng.bootstrap(gen_seeds(n=120, n_hosts=6, seed=3), gen_politeness(6, 3),
+                  gen_robots(6, 3))
+    eng.run(1)
+    n_images = eng.images_df().count()
+    assert n_images > 10
+
+    rep = eng.image_dedup_report()
+    assert rep.count() == n_images
+    assert rep.filter(~F.col("is_survivor")).count() == 0  # organic: unique
+
+    # plant a near-duplicate of the lexicographically FIRST image
+    first = eng.images_df().orderBy("image_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(first["image_id"] + "~v", int(first["phash"]) ^ (1 << 13))]
+        + [(r["image_id"], r["phash"]) for r in
+           eng.images_df().select("image_id", "phash").collect()],
+        "image_id string, phash long",
+    )
+    from jobscrawler_spark.operators.components import label_clusters
+    from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
+
+    rep2 = label_clusters(dup, phash_near_dup_pairs(dup), "image_id")
+    assert rep2.count() == n_images + 1
+    clustered = {r["image_id"]: r for r in rep2.filter(F.col("n_members") > 1).collect()}
+    assert set(clustered) == {first["image_id"], first["image_id"] + "~v"}
+    assert clustered[first["image_id"]]["is_survivor"]
+    assert not clustered[first["image_id"] + "~v"]["is_survivor"]
