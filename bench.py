@@ -459,7 +459,7 @@ def write_baseline_md(
             "side's max approximates the uncontended machine. (Excluding "
             "probe-flagged samples from a max could only bias the ratio — "
             "dropping a fast lo sample inflates it — so exclusion is NOT "
-            "part of the headline.) Every sample is still bracketed by a CPU "
+            "part of the headline.) Every sample is still immediately PRECEDED by a CPU "
             "probe (fixed single-thread numpy workload, min of 3) and a disk "
             f"probe (fsync'd 32 MB write); the rule cpu >{PROBE_CPU_SLACK}x / disk "
             f">{PROBE_DISK_SLACK}x the session min marks contended samples in the "
