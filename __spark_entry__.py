@@ -15,6 +15,11 @@ dedupe, applyInPandasWithState sessionizer) cannot run as gate queries
 (the driver executes batch DataFrames); each is verified in
 tests/test_streaming.py against its batch analogue, whose gate queries
 (w_window_time_agg, p5_anti_join, w_sessionize) ARE oracled here.
+Likewise the BPE tokenizer (functions/bpe.py): iterative merge training
++ greedy rank-ordered encode are not SQL-expressible and the registry
+sits at the driver's 50-entry window, so its contract is pinned by
+tests/test_bpe.py (deterministic training, char reconstruction, and the
+distributed mapInPandas encode equal to the local encoder row-for-row).
 """
 
 from __future__ import annotations
@@ -792,14 +797,18 @@ def q_dedup_exact(spark, sf):
     the 50-entry window): per content hash the surviving doc (min doc_id),
     the duplicate count, and the sorted member list as a string — a strict
     superset of the former dedup_exact (groups with n>1 + doc_ids) and
-    dedup_survivors (keep_doc_id + n_dups) outputs. Operators:
-    dedupe.content_hash_col / exact_duplicates / dedup_survivors (each
-    unit-tested in tests/test_dedupe.py)."""
+    dedup_survivors (keep_doc_id + n_dups) outputs. The gate EXECUTES
+    dedupe.dedup_survivors (not an inline re-derivation, so an operator
+    regression fails the driver gate) and joins the member list on the
+    shared content_hash_col key; exact_duplicates (the n>1 + array view
+    over the same groupBy) stays pinned by tests/test_dedupe.py."""
     d = _t(spark, sf, "documents")
-    return d.groupBy(D.content_hash_col(F.col("text")).alias("content_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count("*").alias("n_dups"),
-        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("dup_doc_ids"),
+    surv = D.dedup_survivors(d)
+    members = d.groupBy(D.content_hash_col(F.col("text")).alias("content_hash")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("dup_doc_ids")
+    )
+    return surv.join(members, "content_hash").select(
+        "content_hash", "keep_doc_id", "n_dups", "dup_doc_ids"
     )
 
 

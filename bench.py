@@ -324,6 +324,7 @@ def run_skew_bench(spark, cores: int) -> dict:
     from jobscrawler_spark.operators import fetch as FETCH
     from jobscrawler_spark.operators.frontier import (
         auto_salt_buckets,
+        fetch_salt_buckets,
         politeness_select,
         salted_repartition,
     )
@@ -366,7 +367,8 @@ def run_skew_bench(spark, cores: int) -> dict:
         )
 
     out = {"seeds": n, "hot_share": 0.5, "n_partitions": n_parts,
-           "salt_buckets": max(16, 16 * n_parts), "politeness_salts": auto_salt_buckets(n)}
+           "salt_buckets": fetch_salt_buckets(n_parts),
+           "politeness_salts": auto_salt_buckets(n)}
     for variant, df in (
         ("salted", salted_repartition(selected, n_parts)),
         ("unsalted", selected.repartition(n_parts, "host")),

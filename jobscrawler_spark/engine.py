@@ -189,10 +189,12 @@ class CrawlEngine:
 
     def _salts(self) -> int:
         """Cached once per engine (re-derived after update_politeness):
-        salt count from the dim's MAX per-host budget via auto_salt_buckets
-        — a 10^5-budget host spreads over ~budget/4096 fetch tasks instead
-        of a fixed 16 (r3 verdict item 7). One tiny agg over the
-        coalesce(1) dim, once per crawl."""
+        POLITENESS salt count from the dim's MAX per-host budget via
+        auto_salt_buckets — keeps a 10^5-budget host's phase-1 cap
+        windows ~4k rows deep (r3 verdict item 7). Fetch-stage spreading
+        is governed separately by fetch_salt_buckets inside
+        salted_repartition. One tiny agg over the coalesce(1) dim, once
+        per crawl."""
         if getattr(self, "_n_salts", None) is None:
             from .operators.frontier import auto_salt_buckets
 

@@ -121,9 +121,20 @@ def _make_encoder(merges: list[tuple[str, str]]):
     return encode_word
 
 
+_ENCODER_MEMO: dict[tuple[tuple[str, str], ...], object] = {}
+
+
 def encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
-    """BPE-encode one text (token list; EOW markers kept on final symbols)."""
-    enc = _make_encoder(merges)
+    """BPE-encode one text (token list; EOW markers kept on final symbols).
+    The rank table + word LRU are memoized per merge list, so driver-side
+    loops over many texts reuse one warm encoder (the distributed path,
+    encode_docs, builds one encoder per partition anyway)."""
+    key = tuple(merges)
+    enc = _ENCODER_MEMO.get(key)
+    if enc is None:
+        if len(_ENCODER_MEMO) > 8:  # merge tables are few; bound the memo
+            _ENCODER_MEMO.clear()
+        enc = _ENCODER_MEMO[key] = _make_encoder(merges)
     out: list[str] = []
     for w in _words(text):
         out.extend(enc(w))
@@ -137,7 +148,10 @@ def encode_docs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, n_bpe_tokens, bpe_tokens) via mapInPandas — the distributed
-    encode; ``merges`` rides the closure (a few KB)."""
+    encode; ``merges`` rides the closure (a few KB). The id column keeps
+    its INPUT type (string image_ids, int doc_ids — anything), derived
+    from the frame's schema rather than hardcoded."""
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches):
         enc = _make_encoder(merges)
@@ -154,5 +168,5 @@ def encode_docs(
             )
 
     return docs.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, n_bpe_tokens int, bpe_tokens array<string>"
+        run, schema=f"{id_col} {id_type}, n_bpe_tokens int, bpe_tokens array<string>"
     )

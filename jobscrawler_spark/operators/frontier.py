@@ -31,19 +31,27 @@ TARGET_ROWS_PER_SALT = 4096
 
 
 def auto_salt_buckets(budget: int) -> int:
-    """Salt count derived from the per-host BUDGET (r3 verdict: a fixed 16
-    concentrates phase-2 windows when one host's budget is 10^5 — its
-    selected rows would land in at most 16 fetch tasks). With
-    budget/TARGET_ROWS_PER_SALT salts, a maxed-out host's selected rows
-    spread over ~TARGET_ROWS_PER_SALT-row tasks; the floor (16) keeps
-    small-budget crawls spread across workers and the cap (1024) bounds
-    the phase-2 exact window's input at salts x budget per host.
+    """POLITENESS salt count derived from the per-host BUDGET (r3 verdict:
+    a fixed 16 concentrates the phase-1 cap windows when one host's
+    budget is 10^5). With budget/TARGET_ROWS_PER_SALT salts the phase-1
+    per-(host, salt) windows stay ~TARGET_ROWS_PER_SALT rows deep for a
+    maxed-out host; the floor (16) keeps small-budget crawls parallel and
+    the cap (1024) bounds the phase-2 exact window's input at
+    salts x budget per host. (FETCH spreading is governed separately by
+    fetch_salt_buckets — the two were decoupled in r4.)
 
     ANY salt count is correct: phase 1 caps each (host, salt) bucket at
     the full budget, and the per-host top-B under (priority, url) ordering
     is always contained in the union of per-salt top-Bs (tested over
     budgets in tests/test_plans.py)."""
     return max(SALT_BUCKETS, min(1024, budget // TARGET_ROWS_PER_SALT))
+
+
+def fetch_salt_buckets(n_partitions: int) -> int:
+    """FETCH-repartition salt count: 16 buckets per fetch partition.
+    Exposed so the skew bench reports exactly what salted_repartition
+    measures (no hand-copied formula to drift)."""
+    return max(SALT_BUCKETS, 16 * n_partitions)
 
 
 def group_robots(robots: DataFrame) -> DataFrame:
@@ -131,7 +139,7 @@ def salted_repartition(
     std per partition ~ H/sqrt(salts x partitions); measured in
     BENCH/BASELINE.md "Adversarial host skew")."""
     if n_salts is None:
-        n_salts = max(SALT_BUCKETS, 16 * n_partitions)
+        n_salts = fetch_salt_buckets(n_partitions)
     return selected.repartition(
         n_partitions, F.col("host"), F.pmod(F.col("url_hash"), F.lit(n_salts))
     )

@@ -110,8 +110,21 @@ class SnapshotTable:
     def _is_partitioned(self) -> bool:
         return any("partition_by" in s for s in self._load())
 
+    @staticmethod
+    def _has_data_files(d: str) -> bool:
+        """True if the snapshot dir contains at least one parquet data
+        file. An EMPTY DataFrame written with partitionBy() produces only
+        _SUCCESS (no files, no schema) — reading such a dir alone raises
+        UNABLE_TO_INFER_SCHEMA, and a crawl can legitimately commit one
+        (a round whose discovered links were all already pending). Empty
+        snapshots are valid commits; reads just skip their dirs."""
+        for root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        dirs = self._dirs_at(snapshot_id)
+        dirs = [d for d in self._dirs_at(snapshot_id) if self._has_data_files(d)]
         if not dirs:
             if self.schema is None:
                 raise ValueError(f"empty table {self.path} with no schema")

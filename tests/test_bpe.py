@@ -77,6 +77,20 @@ def test_distributed_encode_matches_local(spark):
         assert counts[i] == len(encode(t, merges))
 
 
+def test_distributed_encode_preserves_id_type(spark):
+    """The output id column keeps the INPUT type (review r4: it was
+    hardcoded long, breaking string ids like image_id)."""
+    docs = spark.createDataFrame(
+        [("img-a", "shared words here"), ("img-b", "shared words there")],
+        "image_id string, text string",
+    )
+    merges = train_bpe(["shared words"], n_merges=8)
+    out = encode_docs(docs, merges, id_col="image_id")
+    assert dict(out.dtypes)["image_id"] == "string"
+    got = {r["image_id"]: list(r["bpe_tokens"]) for r in out.collect()}
+    assert got["img-a"] == encode("shared words here", merges)
+
+
 def test_sf_corpus_compression(spark):
     """On the real fixture corpus the learned BPE must actually compress:
     fewer tokens than characters, more than whitespace words."""

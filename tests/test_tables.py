@@ -50,3 +50,74 @@ def test_expire_before(spark, tmp_path):
     t.expire_before(s2)
     assert [r["k"] for r in t.read(spark).collect()] == [3]
     assert len(t.snapshots()) == 1
+
+
+def test_empty_partitioned_snapshot_does_not_brick_reads(spark, tmp_path):
+    """R4 regression (review-found): an EMPTY DataFrame appended with
+    partition_by writes only _SUCCESS; the per-snapshot union read of a
+    partitioned table must skip such fileless dirs instead of raising
+    UNABLE_TO_INFER_SCHEMA. A crawl legitimately commits one when a
+    round's discovered links were all already pending."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from jobscrawler_spark.plans.tables import SnapshotTable
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("shard", IntegerType())]
+    )
+    t = SnapshotTable(str(tmp_path / "t"), schema)
+    t.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2)], schema), partition_by="shard"
+    )
+    t.append(spark.createDataFrame([], schema), partition_by="shard")  # fileless
+    t.append(spark.createDataFrame([("c", 1)], schema), partition_by="shard")
+
+    rows = {(r["k"], r["shard"]) for r in t.read(spark).collect()}
+    assert rows == {("a", 1), ("b", 2), ("c", 1)}
+    # partition pruning still works through the skip
+    assert {r["k"] for r in t.read(spark).filter(F.col("shard") == 1).collect()} == {
+        "a",
+        "c",
+    }
+    # an all-empty table still reads as the schema'd empty frame
+    t2 = SnapshotTable(str(tmp_path / "t2"), schema)
+    t2.overwrite(spark.createDataFrame([], schema), partition_by="shard")
+    assert t2.read(spark).count() == 0
+
+
+def test_frontier_empty_insert_then_read(spark, tmp_path):
+    """The exact engine call shape of the regression: DeltaFrontier.insert
+    with ZERO fresh rows (a round whose discovered links were all already
+    pending) followed by read() — must return the pre-insert frontier,
+    not raise UNABLE_TO_INFER_SCHEMA on the fileless partitioned dir."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jobscrawler_spark.functions.urls import with_canonical
+    from jobscrawler_spark.plans.delta_frontier import DeltaFrontier
+    from jobscrawler_spark.schemas import FRONTIER
+
+    f = DeltaFrontier(str(tmp_path / "f"))
+    seeds = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"http://h{i % 3}.example.com/p/{i}" for i in range(30)],
+                "priority": 0.5,
+                "depth": 0,
+            }
+        )
+    )
+    rows = (
+        with_canonical(seeds, n_shards=4)
+        .withColumn("not_before_round", F.lit(0))
+        .withColumn("attempts", F.lit(0))
+        .select([fld.name for fld in FRONTIER.fields])
+    )
+    f.bootstrap(spark, rows)
+    assert f.read(spark).count() == 30
+    f.insert(rows.filter(F.lit(False)), 0)  # empty insert, still committed
+    assert f.read(spark).count() == 30
+    f.insert(rows.limit(0), 1)
+    f.compact(spark, 1)  # compaction across the fileless snapshots
+    assert f.read(spark).count() == 30
