@@ -103,3 +103,30 @@ def test_sf_corpus_compression(spark):
         n_words = len(text.split())
         n_chars = len(text)
         assert n_words <= r["n_bpe_tokens"] <= n_chars + n_words
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_texts)
+def test_prop_encode_reconstructs_any_corpus(texts):
+    merges = train_bpe(texts, n_merges=24)
+    for t in texts:
+        toks = encode(t, merges)
+        assert "".join(toks).replace(EOW, " ").strip() == " ".join(t.split())
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_prop_training_order_invariant(texts):
+    assert train_bpe(texts, n_merges=24) == train_bpe(
+        list(reversed(texts)), n_merges=24
+    )

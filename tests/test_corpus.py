@@ -139,3 +139,29 @@ def test_weighted_mix_is_a_stable_subset(spark):
         survivors[rate] = {r["doc_id"] for r in weighted_mix(docs, rates).collect()}
     assert survivors[0.2] <= survivors[0.6]
     assert len(survivors[0.2]) < len(survivors[0.6])
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=64),
+)
+def test_prop_packing_invariants(token_counts, budget):
+    """Pure-Python mirror of the window-cumsum pack: offsets stay inside
+    the budget, bins are monotone non-decreasing, and each document's
+    (bin_id, bin_offset) equals floor/mod of the preceding total — the
+    exact contract the Spark window implements."""
+    pre = 0
+    last_bin = 0
+    for n in token_counts:
+        bin_id, off = pre // budget, pre % budget
+        assert 0 <= off < budget
+        assert bin_id >= last_bin
+        last_bin = bin_id
+        pre += n
