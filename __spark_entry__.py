@@ -1656,7 +1656,7 @@ def _oracle_sql_static() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
               FROM t)
             SELECT source, doc_id, n_tokens,
-                   CAST(pre // 256 AS INT) AS bin_id,
+                   CAST(pre // 256 AS BIGINT) AS bin_id,
                    CAST(pre % 256 AS INT) AS bin_offset
             FROM c
         """,

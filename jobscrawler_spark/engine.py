@@ -298,23 +298,27 @@ class CrawlEngine:
             # links cache + shard collect are one small job over O(round)
             # rows; at 2^14 shards a small round hits a handful of shards.
             links_cached = links.persist()
-            hit_shards = [
-                row["shard"] for row in links_cached.select("shard").distinct().collect()
-            ]
-            if hit_shards:
-                pending = frontier_df.filter(F.col("shard").isin(hit_shards)).select(
-                    "url_hash", "url"
-                )
-                fresh = links_cached.join(pending, ["url_hash", "url"], "left_anti")
-                new_rows = (
-                    fresh.withColumn("not_before_round", F.lit(r + 1))
-                    .withColumn("attempts", F.lit(0))
-                    .select([f.name for f in FRONTIER.fields])
-                )
-                n_ins = self.frontier.insert(new_rows, r)
-            else:
-                n_ins = 0
-            links_cached.unpersist()
+            try:
+                hit_shards = [
+                    row["shard"] for row in links_cached.select("shard").distinct().collect()
+                ]
+                if hit_shards:
+                    pending = frontier_df.filter(F.col("shard").isin(hit_shards)).select(
+                        "url_hash", "url"
+                    )
+                    fresh = links_cached.join(pending, ["url_hash", "url"], "left_anti")
+                    new_rows = (
+                        fresh.withColumn("not_before_round", F.lit(r + 1))
+                        .withColumn("attempts", F.lit(0))
+                        .select([f.name for f in FRONTIER.fields])
+                    )
+                    n_ins = self.frontier.insert(new_rows, r)
+                else:
+                    n_ins = 0
+            finally:
+                # unpersist on every path — an exception in the collect /
+                # anti-join / insert must not leak the cache for the session
+                links_cached.unpersist()
             return n_ins
 
         with ThreadPoolExecutor(6) as ex:

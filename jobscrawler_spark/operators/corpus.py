@@ -125,6 +125,11 @@ def pack_sequences(
     is the document's start position inside its bin. One shuffle (the
     window partition on ``group_col``); bins are only comparable WITHIN a
     group, which is exactly what keeps the window partitioned at scale.
+
+    ``bin_id`` is integer division kept as BIGINT: at the documented
+    10^10-doc scale a group's cumulative token count exceeds 2^31*budget
+    (and past 2^53 a double floor would drift), so the double-division
+    floor + int cast would overflow (ADVICE r4).
     """
     n_tok = token_count(F.col(text_col))
     w = Window.partitionBy(group_col).orderBy(id_col)
@@ -138,7 +143,7 @@ def pack_sequences(
             group_col,
             id_col,
             "n_tokens",
-            F.floor(F.col("__pre") / budget).cast("int").alias("bin_id"),
+            F.expr(f"CAST(__pre DIV {int(budget)} AS BIGINT)").alias("bin_id"),
             F.pmod(F.col("__pre"), F.lit(budget)).cast("int").alias("bin_offset"),
         )
     )

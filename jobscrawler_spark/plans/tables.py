@@ -82,6 +82,12 @@ class SnapshotTable:
         snap = {"id": sid, "dir": rel, "mode": mode, "meta": meta or {}}
         if partition_by is not None:
             snap["partition_by"] = partition_by
+        # record emptiness ONCE at commit time (one walk of the fresh dir):
+        # read() then skips fileless snapshots from the manifest instead of
+        # os.walking every snapshot dir on every read — for append-heavy
+        # partitioned tables (seen/frontier) that walk was O(snapshots x
+        # files) driver-side stat calls per round (ADVICE r4)
+        snap["has_data"] = self._has_data_files(out)
         snaps.append(snap)
         self._commit(snaps)
         return sid
@@ -96,16 +102,19 @@ class SnapshotTable:
     ) -> int:
         return self._write(df, "overwrite", meta, partition_by)
 
-    def _dirs_at(self, snapshot_id: int | None) -> list[str]:
+    def _snaps_at(self, snapshot_id: int | None) -> list[dict]:
         snaps = self._load()
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["id"] <= snapshot_id]
-        dirs: list[str] = []
+        live: list[dict] = []
         for s in snaps:
             if s["mode"] == "overwrite":
-                dirs = []
-            dirs.append(os.path.join(self.path, s["dir"]))
-        return dirs
+                live = []
+            live.append(s)
+        return live
+
+    def _dirs_at(self, snapshot_id: int | None) -> list[str]:
+        return [os.path.join(self.path, s["dir"]) for s in self._snaps_at(snapshot_id)]
 
     def _is_partitioned(self) -> bool:
         return any("partition_by" in s for s in self._load())
@@ -124,7 +133,18 @@ class SnapshotTable:
         return False
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        dirs = [d for d in self._dirs_at(snapshot_id) if self._has_data_files(d)]
+        # emptiness comes from the manifest (recorded at write time); the
+        # os.walk is only the fallback for manifests written before the
+        # has_data field existed
+        dirs = [
+            os.path.join(self.path, s["dir"])
+            for s in self._snaps_at(snapshot_id)
+            if s.get("has_data", None) is True
+            or (
+                s.get("has_data", None) is None
+                and self._has_data_files(os.path.join(self.path, s["dir"]))
+            )
+        ]
         if not dirs:
             if self.schema is None:
                 raise ValueError(f"empty table {self.path} with no schema")

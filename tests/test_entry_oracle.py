@@ -80,6 +80,18 @@ def test_all_queries_have_entries():
     assert len(qs) >= 20
 
 
+def test_registry_stays_inside_driver_window():
+    """The driver records exactly the FIRST 50 queries() entries; a 51st
+    would silently push the oldest oracled gate out of the recorded
+    coverage (ADVICE r4). Enforce the window and that every oracled key
+    sits inside it."""
+    qs = E.queries()
+    assert len(qs) <= 50, f"queries() has {len(qs)} entries; driver records only 50"
+    window = set(list(qs)[:50])
+    outside = [k for k in E.oracle_sql() if k not in window]
+    assert not outside, f"oracled gates outside the recorded window: {outside}"
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_dtypes_match_oracle(spark, ddb, name):
     """Dtype-KIND parity (the r1 a6 failure was DuckDB HUGEINT surfacing as
