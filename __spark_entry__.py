@@ -248,28 +248,43 @@ def q_a6_batch_stats(spark, sf):
 
 
 def q_u_union_sources(spark, sf):
-    """U1-U3: strategy union with source tag."""
+    """U1-U3 + set operators in ONE kind-tagged gate (merged r5 to free a
+    registry slot for text_bpe). 'union' rows: strategy union with source
+    tag, grouped totals. 'setop' row: users who viewed AND clicked but
+    never purchased — INTERSECT then EXCEPT ALL on user sets (SURVEY §2.6
+    marks intersect/except absent in the reference), reported as a count
+    so the shape aligns."""
     e = _t(spark, sf, "events")
     a = e.filter(F.col("event_type") == "click").withColumn("source_kind", F.lit("bs4"))
     b = e.filter(F.col("event_type") == "view").withColumn("source_kind", F.lit("api"))
     c = e.filter(F.col("event_type") == "purchase").withColumn("source_kind", F.lit("rss"))
-    return (
+    union = (
         a.unionByName(b)
         .unionByName(c)
         .groupBy("source_kind")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.lit("union").alias("kind"),
+            F.col("source_kind").alias("key"),
+            "n",
+            "total_value",
+        )
     )
-
-
-def q_u_intersect_except(spark, sf):
-    """Set operators beyond the reference's unions (SURVEY §2.6 marks
-    intersect/except absent there): users who viewed AND clicked but never
-    purchased — INTERSECT then EXCEPT on user sets."""
-    e = _t(spark, sf, "events")
     viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
     clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    return viewers.intersect(clickers).exceptAll(buyers).select("user_id")
+    setop = (
+        viewers.intersect(clickers)
+        .exceptAll(buyers)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("setop").alias("kind"),
+            F.lit("viewed_clicked_never_bought").alias("key"),
+            "n",
+            F.lit(0.0).alias("total_value"),
+        )
+    )
+    return union.unionByName(setop)
 
 
 def q_p1_selector_config(spark, sf):
@@ -486,6 +501,102 @@ def _ivf_kmeans_oracle(sf_dir: str) -> str:
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM sims) WHERE rank <= 5
+        """
+
+
+def _text_bpe_oracle(sf_dir: str) -> str:
+    """Oracle for text_bpe: per-doc BPE token counts recomputed by an
+    INDEPENDENT Python pass (no engine code) at oracle-build time —
+    different organization, same deterministic contract as
+    functions/bpe.py: train on the 256 lowest-doc_id docs, 64 merges,
+    (count DESC, pair ASC) tie-break; encode by applying merges in
+    LEARNED ORDER with a left-to-right non-overlapping scan (provably
+    equal to the engine's lowest-rank-first greedy: a later merge's
+    output symbol can only feed merges learned later still). Counts go
+    in as a VALUES table; the packing window (PARTITION BY source ORDER
+    BY doc_id, budget 256) runs in pure SQL."""
+    import duckdb as _ddb
+
+    # the marker STRING is part of the observable contract (pair-ASC
+    # tie-breaks compare symbol strings, so a different marker could
+    # re-order ties) -- same "</w>" as the engine
+    eow = "</w>"
+    con = _ddb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    def to_words(text):
+        return [w for w in (text or "").strip().split() if w]
+
+    # --- train: weighted distinct-word corpus, 64 merges -------------------
+    freq: dict[str, int] = {}
+    for _, text in rows[:256]:
+        for w in to_words(text):
+            freq[w] = freq.get(w, 0) + 1
+    corpus = [(list(w) + [eow], c) for w, c in sorted(freq.items())]
+
+    def apply_merge(sym, a, b, joined):
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(joined)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    merges = []
+    for _ in range(64):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, c in corpus:
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best_n = max(counts.values())
+        if best_n < 2:
+            break
+        pair = min(p for p, n in counts.items() if n == best_n)
+        merges.append(pair)
+        joined = pair[0] + pair[1]
+        corpus = [(apply_merge(sym, pair[0], pair[1], joined), c) for sym, c in corpus]
+
+    # --- encode every doc: merges applied in learned order -----------------
+    cache: dict[str, int] = {}
+
+    def count_word(w):
+        n = cache.get(w)
+        if n is None:
+            sym = list(w) + [eow]
+            for a, b in merges:
+                sym = apply_merge(sym, a, b, a + b)
+            n = cache[w] = len(sym)
+        return n
+
+    values = ",\n              ".join(
+        f"({int(doc_id)}, {sum(count_word(w) for w in to_words(text))})"
+        for doc_id, text in rows
+    )
+    return f"""
+            WITH counts(doc_id, n_bpe) AS (VALUES
+              {values}),
+            t AS (
+              SELECT d.source, d.doc_id, c.n_bpe AS n_tokens
+              FROM documents d JOIN counts c USING (doc_id)),
+            c2 AS (
+              SELECT source, doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+              FROM t)
+            SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(pre // 256 AS BIGINT) AS bin_id,
+                   CAST(pre % 256 AS INT) AS bin_offset
+            FROM c2
         """
 
 
@@ -1012,6 +1123,26 @@ def q_corpus_mix(spark, sf):
     return weighted_mix(d, rates).select("doc_id", "source", "lang")
 
 
+def q_text_bpe(spark, sf):
+    """F16 fidelity as a LOAD-BEARING operator (NEW r5, verdict tasks 2+3):
+    the from-scratch BPE tokenizer (functions/bpe.py) trains on the
+    deterministic 256-doc sample, encodes every document distributed
+    (mapInPandas, merges in the closure — bpe.py:195), and its counts
+    drive sequence packing (token_counter='bpe',
+    operators/corpus.py:pack_sequences). Oracle: an INDEPENDENT Python
+    BPE pass (different trainer/encoder organization, same contract)
+    recomputes per-doc token counts at oracle-build time; the packing
+    window runs in pure SQL over those counts (the ann_ivf_kmeans
+    independent-recompute pattern). Reference analogue: tiktoken counting
+    at src/embeddings/e5_base_v2_utils.py:37-56."""
+    from jobscrawler_spark.functions.bpe import train_bpe_on_docs
+    from jobscrawler_spark.operators.corpus import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe_on_docs(d, n_merges=64, sample_n=256)
+    return pack_sequences(d, budget=256, token_counter="bpe", bpe_merges=merges)
+
+
 def q_multimodal_pipeline(spark, sf):
     """ALL THREE multimodal pipelines in ONE rows-only gate (merged r4 for
     the 50-entry window), kind-tagged and fingerprinted to a common shape:
@@ -1314,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     addition lands inside the recorded window while the oldest, most
     battle-tested TPC-H-shape gates are the ones that would overflow."""
     return {
+        # -- r5 additions ---------------------------------------------------
+        "text_bpe": q_text_bpe,
         # -- r4 additions ---------------------------------------------------
         "image_dedup_clusters": q_image_dedup_clusters,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -1339,9 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_watermark": q_p7_watermark,
         "a5_distinct": q_a5_distinct,
         "a6_batch_stats": q_a6_batch_stats,
-        "u_union_sources": q_u_union_sources,
+        "u_union_sources": q_u_union_sources,  # + intersect/except (merged r5)
         "j4_positional_join": q_j4_positional_join,
-        "u_intersect_except": q_u_intersect_except,
         "p1_selector_config": q_p1_selector_config,
         "s_robots_parse": q_s_robots_parse,
         "w_window_time_agg": q_w_window_time_agg,
@@ -1444,6 +1576,14 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
         print(
             f"[oracle_sql] ann_ivf_kmeans degraded to rows-only: "
             f"cannot read {sf_dir}/embeddings.parquet ({e})",
+            file=_sys.stderr,
+        )
+    try:
+        out["text_bpe"] = _text_bpe_oracle(sf_dir)
+    except (OSError, _ddb.Error) as e:
+        print(
+            f"[oracle_sql] text_bpe degraded to rows-only: "
+            f"cannot read {sf_dir}/documents.parquet ({e})",
             file=_sys.stderr,
         )
     return out
@@ -1561,16 +1701,19 @@ def _oracle_sql_static() -> dict[str, str]:
               SELECT 'api', value FROM events WHERE event_type = 'view'
               UNION ALL
               SELECT 'rss', value FROM events WHERE event_type = 'purchase')
-            SELECT source_kind, count(*) AS n, round(sum(value), 4) AS total_value
+            SELECT 'union' AS kind, source_kind AS key, count(*) AS n,
+                   round(sum(value), 4) AS total_value
             FROM u GROUP BY source_kind
-        """,
-        "u_intersect_except": """
-            SELECT user_id FROM (
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
-              INTERSECT
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
-            EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT 'setop', 'viewed_clicked_never_bought', count(*),
+                   CAST(0.0 AS DOUBLE)
+            FROM (
+              SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+              EXCEPT ALL
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         """,
         "j4_positional_join": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 50),

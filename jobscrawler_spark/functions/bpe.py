@@ -141,17 +141,59 @@ def encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
     return out
 
 
+def truncate_text(text: str, merges: list[tuple[str, str]], max_tokens: int) -> str:
+    """Truncate ``text`` to its first ``max_tokens`` BPE tokens and
+    reconstruct the surface string — the BPE backend for F16's truncation
+    (the reference truncates at 1000 tiktoken tokens, reference:
+    src/embeddings/e5_base_v2_utils.py:37-56). A cut mid-word keeps the
+    word's leading characters, exactly as a real tokenizer truncation
+    does; EOW markers become the inter-word spaces."""
+    toks = encode(text, merges)[:max_tokens]
+    return "".join(toks).replace(EOW, " ").rstrip()
+
+
+def truncate_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text) with ``text_col`` truncated to ``max_tokens`` BPE tokens —
+    the distributed form of truncate_text (mapInPandas, merges in the
+    closure; map-side only, same scale shape as encode_docs)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        enc = _make_encoder(merges)
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                toks = [s for w in _words(t or "") for s in enc(w)][:max_tokens]
+                out.append("".join(toks).replace(EOW, " ").rstrip())
+            yield pd.DataFrame({id_col: pdf[id_col], text_col: out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {text_col} string"
+    )
+
+
 def encode_docs(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_bpe_tokens, bpe_tokens) via mapInPandas — the distributed
-    encode; ``merges`` rides the closure (a few KB). The id column keeps
-    its INPUT type (string image_ids, int doc_ids — anything), derived
-    from the frame's schema rather than hardcoded."""
-    id_type = docs.schema[id_col].dataType.simpleString()
+    """(id, *passthrough, n_bpe_tokens, bpe_tokens) via mapInPandas — the
+    distributed encode; ``merges`` rides the closure (a few KB). The id
+    and passthrough columns keep their INPUT types (string image_ids, int
+    doc_ids — anything), derived from the frame's schema rather than
+    hardcoded. ``passthrough_cols`` lets consumers (pack_sequences' bpe
+    backend) carry grouping keys through the map stage instead of paying
+    a join-back shuffle."""
+    passthrough = passthrough_cols or []
+    typed = [(c, docs.schema[c].dataType.simpleString()) for c in [id_col, *passthrough]]
 
     def run(batches):
         enc = _make_encoder(merges)
@@ -159,14 +201,12 @@ def encode_docs(
             toks = [
                 [s for w in _words(t or "") for s in enc(w)] for t in pdf[text_col]
             ]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bpe_tokens": pd.array([len(t) for t in toks], dtype="Int32"),
-                    "bpe_tokens": toks,
-                }
-            )
+            out = {c: pdf[c] for c, _t in typed}
+            out["n_bpe_tokens"] = pd.array([len(t) for t in toks], dtype="Int32")
+            out["bpe_tokens"] = toks
+            yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} {id_type}, n_bpe_tokens int, bpe_tokens array<string>"
+    cols_sql = ", ".join(f"{c} {t}" for c, t in typed)
+    return docs.select(id_col, *passthrough, text_col).mapInPandas(
+        run, schema=f"{cols_sql}, n_bpe_tokens int, bpe_tokens array<string>"
     )

@@ -114,6 +114,8 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    token_counter: str = "ws",
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Assign each document to a token-budget bin: documents are laid out
     in deterministic (group, doc_id) order, token counts cumulate, and a
@@ -130,15 +132,36 @@ def pack_sequences(
     10^10-doc scale a group's cumulative token count exceeds 2^31*budget
     (and past 2^53 a double floor would drift), so the double-division
     floor + int cast would overflow (ADVICE r4).
+
+    ``token_counter`` selects the counting backend (r4 verdict task 3 —
+    the fidelity tokenizer must be load-bearing, not a sidecar):
+    - ``'ws'``   — whitespace tokens, pure Catalyst (functions/text.py)
+    - ``'bpe'``  — real BPE counts from functions/bpe.py's mapInPandas
+      encode (``bpe_merges`` required, trained via train_bpe_on_docs).
+      Adds one narrow map stage before the same partitioned window; the
+      plan shape (one shuffle on the group key) is unchanged.
     """
-    n_tok = token_count(F.col(text_col))
+    if token_counter == "bpe":
+        if bpe_merges is None:
+            raise ValueError("token_counter='bpe' requires bpe_merges")
+        from ..functions.bpe import encode_docs
+
+        # group key rides THROUGH the encode map stage (no join-back shuffle)
+        counted = encode_docs(
+            docs, bpe_merges, text_col=text_col, id_col=id_col,
+            passthrough_cols=[group_col],
+        ).select(group_col, id_col, F.col("n_bpe_tokens").cast("int").alias("n_tokens"))
+    elif token_counter == "ws":
+        n_tok = token_count(F.col(text_col))
+        counted = docs.select(F.col(group_col), F.col(id_col), n_tok.alias("n_tokens"))
+    else:
+        raise ValueError(f"unknown token_counter {token_counter!r}")
     w = Window.partitionBy(group_col).orderBy(id_col)
     preceding = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return (
-        docs.select(F.col(group_col), F.col(id_col), n_tok.alias("n_tokens"))
-        .withColumn("__pre", preceding)
+        counted.withColumn("__pre", preceding)
         .select(
             group_col,
             id_col,
