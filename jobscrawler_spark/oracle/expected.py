@@ -1,0 +1,465 @@
+"""Independent single-threaded recomputes for the end-to-end gate oracles.
+
+Round 5 converts the former rows-only gates (crawl_round, jobs_pipeline,
+embed_pipeline, extract_verify, multimodal_pipeline) to hash-green: each
+function here re-derives the gate's expected OUTPUT rows with plain
+Python/pandas/numpy — no Spark, no engine dataflow code — and
+``__spark_entry__.oracle_sql`` inlines the rows as a VALUES table (the
+accepted ann_ivf_kmeans pattern: independent recompute -> VALUES ->
+pure-SQL compare).
+
+What is shared vs independent: the recomputes share only the LEAVES the
+oracle simulator already shares — the synthetic fetch model
+(fetch_model.py), the codecs, the xxhash64/canonicalize ports, and the
+regex CONSTANTS (the reference's literal patterns, cited in
+functions/cleaning.py). With no network in this sandbox those leaves ARE
+the ground truth, so a mismatch is a dataflow/scheduling bug, not a data
+bug (same stance as oracle/simulator.py:18-21). Every pipeline STEP —
+parsing, cleaning, enrichment, windowing, upsert, packing — is
+re-implemented here sequentially with ``re``/``json``/dict loops.
+
+Reference analogues: the main() DAG (reference: src/main.py:44-51 ->
+src/crawler.py:320-361), the embedding entry point
+(src/embeddings/embed_latest_crawled_data.py), the crawl loop
+(src/crawlers/async_bs4.py:154-166).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from ..functions.xxhash import spark_xxhash64_str
+
+CLOCK = datetime.datetime(2024, 3, 4, 5, 6, 7)
+
+
+def spark_round_py(x: float, scale: int) -> float:
+    """Bit-faithful port of Spark's round(double, scale): HALF_UP on the
+    shortest-roundtrip decimal representation (Java BigDecimal.valueOf ==
+    Decimal(repr(x)) — both parse the unique shortest decimal)."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+    )
+
+
+def _search1(pat: str, s: str) -> str:
+    """First match's group 1, '' on no match — regexp_extract semantics."""
+    m = re.search(pat, s)
+    return m.group(1) if m else ""
+
+
+def _nan_if_empty(s: str | None) -> str:
+    return "NaN" if s is None or s == "" else s
+
+
+# ---------------------------------------------------------------------------
+# crawl_round: one engine round re-derived by the oracle simulator
+# ---------------------------------------------------------------------------
+
+
+def crawl_round_rows() -> list[tuple]:
+    """(image_id, w, h, fmt, caption, phash) for q_crawl_round's fixture:
+    gen_seeds(200, 8 hosts, seed 7), budget 4, depth 0, one round — the
+    single-threaded simulator computes the landed set sequentially."""
+    from ..generators import gen_politeness, gen_robots, gen_seeds
+    from .simulator import OracleCrawler
+
+    orc = OracleCrawler(
+        gen_politeness(8, seed=7), gen_robots(8, seed=7), default_budget=4,
+        max_depth=0, n_shards=4,
+    )
+    orc.bootstrap(gen_seeds(n=200, n_hosts=8, seed=7))
+    orc.run(1)
+    return [
+        (d["image_id"], d["w"], d["h"], d["fmt"], d["caption"], d["phash"])
+        for d in orc.landed
+    ]
+
+
+# ---------------------------------------------------------------------------
+# extract_verify: per-image invariant verdicts, sequential numpy
+# ---------------------------------------------------------------------------
+
+
+def extract_verify_rows(n: int = 128, seed: int = 42) -> list[tuple]:
+    """(image_id, fmt, decode_ok, psnr_ok, caption_ok, phash_match) for
+    q_extract_verify's gen_images(128) fixture. Decode/PSNR/phash are
+    recomputed here sequentially (fresh PSNR arithmetic, not
+    operators/extract.py)."""
+    import numpy as np
+
+    from .. import fetch_model as FM
+    from ..functions import codecs
+    from ..functions.urls import canonicalize_py
+
+    out = []
+    for i in range(n):
+        url = f"http://img{seed}.example.com/i/{i}"
+        data, w, h, fmt, caption, ph = FM.fetch_payload(url)
+        image_id = canonicalize_py(url)
+        decoded = codecs.decode(data, fmt)
+        decode_ok = decoded.shape == (h, w, 3)
+        truth = FM.expected_pixels(url)
+        if fmt in codecs.LOSSY_FMTS:
+            err = (truth.astype(np.float64) - decoded.astype(np.float64)) ** 2
+            mse = float(err.mean())
+            psnr = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+            psnr_ok = psnr >= 40.0
+        else:
+            psnr_ok = bool(np.array_equal(truth, decoded))
+        caption_ok = caption == FM.caption_for(url)
+        phash_match = codecs.phash(truth) == ph
+        out.append((image_id, fmt, decode_ok, psnr_ok, caption_ok, phash_match))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jobs_pipeline: parse -> clean -> enrich -> stamp -> upsert, in pandas/re
+# ---------------------------------------------------------------------------
+
+
+def _parse_all_py(configs, payloads) -> list[dict]:
+    """Sequential re-implementation of the four parse strategies over the
+    canned bodies (python re/json loops; the engine does this with
+    regexp_extract_all/from_json/posexplode in sources/strategies.py)."""
+    from ..sources.strategies import (
+        P_DESC,
+        P_JOB,
+        P_LINK,
+        P_LOC,
+        P_TITLE,
+    )
+
+    bodies = {
+        r["url"]: r["body"]
+        for _, r in payloads.iterrows()
+        if int(r["status"]) == 200
+    }
+    rows: list[dict] = []
+    for _, cfg in configs.iterrows():
+        kind, strategy = cfg["source_kind"], cfg["strategy"]
+        sel = lambda c, d: (cfg.get(c) if isinstance(cfg.get(c), str) else None) or d
+        if kind == "bs4":
+            for page in range(int(cfg["start_point"]), int(cfg["pages_to_crawl"]) + 1):
+                body = bodies.get(f"{cfg['url']}{page}")
+                if body is None:
+                    continue
+                if strategy == "main":
+                    jobs = re.findall(sel("sel_job", P_JOB), body)
+                    fields = [
+                        (
+                            _search1(sel("sel_title", P_TITLE), j),
+                            _search1(sel("sel_link", P_LINK), j),
+                            _search1(sel("sel_desc", P_DESC), j),
+                            _search1(sel("sel_loc", P_LOC), j),
+                        )
+                        for j in jobs
+                    ]
+                    # page-level abort: any missing title/link kills the page
+                    if any(t == "" or l == "" for t, l, _d, _o in fields):
+                        continue
+                    for pos, (t, l, d, o) in enumerate(fields):
+                        rows.append(
+                            dict(
+                                config_idx=int(cfg["config_idx"]), page=page, pos=pos,
+                                title=t, link=cfg["name"] + l,
+                                description=_nan_if_empty(d),
+                                location=_nan_if_empty(o), source_kind="bs4",
+                            )
+                        )
+                else:  # container: zip-truncate to the shortest list
+                    titles = re.findall(sel("sel_title", P_TITLE), body)
+                    links = re.findall(sel("sel_link", P_LINK), body)
+                    descs = re.findall(sel("sel_desc", P_DESC), body)
+                    locs = re.findall(sel("sel_loc", P_LOC), body)
+                    if not titles or not links:
+                        continue
+                    for pos in range(min(len(titles), len(links), len(descs), len(locs))):
+                        rows.append(
+                            dict(
+                                config_idx=int(cfg["config_idx"]), page=page, pos=pos,
+                                title=_nan_if_empty(titles[pos]),
+                                link=cfg["name"] + links[pos],
+                                description=_nan_if_empty(descs[pos]),
+                                location=_nan_if_empty(locs[pos]), source_kind="bs4",
+                            )
+                        )
+        elif kind == "api":
+            body = bodies.get(cfg["url"])
+            if body is None:
+                continue
+            payload = json.loads(body)
+            arr = payload["data"] if strategy == "dict" else payload
+            for pos, job in enumerate(arr):
+                loc = job.get(sel("tag_loc", "locF"))
+                # coalesce(element_at, 'NaN'): MISSING key -> 'NaN';
+                # present-but-empty stays '' (only location defaults on '')
+                nan_if_missing = lambda v: "NaN" if v is None else v
+                rows.append(
+                    dict(
+                        config_idx=int(cfg["config_idx"]), page=1, pos=pos,
+                        title=nan_if_missing(job.get(sel("tag_title", "titleF"))),
+                        link=nan_if_missing(job.get(sel("tag_link", "linkF"))),
+                        description=nan_if_missing(job.get(sel("tag_desc", "descF"))),
+                        location="Worldwide" if loc is None or loc == "" else loc,
+                        source_kind="api",
+                    )
+                )
+        else:  # rss
+            body = bodies.get(cfg["url"])
+            if body is None:
+                continue
+            items = re.findall(r"(?is)<(?:item|entry)(?:\s[^>]*)?>(.*?)</(?:item|entry)\s*>", body)
+
+            def field(tag: str, item: str) -> str:
+                return _search1(
+                    rf"(?is)<{tag}(?:\s[^>]*)?>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</{tag}\s*>",
+                    item,
+                )
+
+            for pos, item in enumerate(items):
+                link = field("link", item) or _search1(
+                    r'(?is)<link\s[^>]*href\s*=\s*"(.*?)"', item
+                )
+                rows.append(
+                    dict(
+                        config_idx=int(cfg["config_idx"]), page=1, pos=pos,
+                        title=_nan_if_empty(field("title", item)),
+                        link=_nan_if_empty(link),
+                        description=_nan_if_empty(field("description", item)),
+                        location=_nan_if_empty(field("location", item)),
+                        source_kind="rss",
+                    )
+                )
+    return rows
+
+
+def _clean_text_py(s: str) -> str:
+    from ..functions.cleaning import RE_HTML_PUNCT
+
+    return re.sub(RE_HTML_PUNCT, "", s)
+
+
+def _clean_location_py(s: str) -> str:
+    from ..functions.cleaning import (
+        RE_CAMEL,
+        RE_DASH,
+        RE_DATE,
+        RE_HTML_PUNCT,
+        RE_REMOTE,
+        RE_REMOTE_EXACT,
+        RE_REPEAT,
+        RE_SALARY,
+    )
+
+    c = re.sub(RE_HTML_PUNCT, "", s)
+    c = re.sub(RE_REPEAT, r"\1", c)
+    c = re.sub(RE_DATE, "", c)
+    c = re.sub(RE_SALARY, "", c)
+    c = re.sub(RE_DASH, " ", c)
+    c = re.sub(RE_CAMEL, " ", c)
+    c = re.sub(RE_REMOTE, "Worldwide", c)
+    c = re.sub(RE_REMOTE_EXACT, "Worldwide", c)
+    return c.strip(" ")  # Spark trim strips the space character
+
+
+def _location_tags_py(location: str, dim: dict[str, str]) -> tuple[str | None, list[str] | None]:
+    """(rejoined location, ordered-distinct tags) — the unigram/bigram
+    enrichment re-derived sequentially (engine: operators/location_tags.py;
+    reference: src/crawler.py:45-107)."""
+    cleaned = re.sub(r"\|", " ", re.sub(r"[,()]", "", location))
+    toks = [t for t in re.split(r"\s+", cleaned.strip(" ")) if t != ""]
+    if not toks:
+        return None, None
+    tag1 = [dim.get(t.upper()) for t in toks]
+    tags = []
+    for j, tok in enumerate(toks):
+        nxt = toks[j + 1] if j + 1 < len(toks) else None
+        tag_bwd = None
+        if j > 0 and tag1[j - 1] is None:
+            tag_bwd = dim.get(f"{toks[j - 1]} {tok}".upper())
+        tag_fwd = None
+        if tag1[j] is None and nxt is not None:
+            tag_fwd = dim.get(f"{tok} {nxt}".upper())
+        # tag_bwd outranks tag1: the trailing token of a matched compound
+        # takes the compound tag (reference i += 2 consumption)
+        t = tag_bwd or tag1[j] or tag_fwd or "NaN"
+        tags.append(t)
+    rejoined = re.sub(r"[\[\]']", "", " ".join(toks))
+    distinct = list(dict.fromkeys(tags))
+    return rejoined, distinct
+
+
+def jobs_rows() -> list[dict]:
+    """The upserted jobs table for q_jobs_pipeline's fixtures, re-derived
+    sequentially. Columns: title, link, description, pubdate (date),
+    location, timestamp (datetime), location_tags (list)."""
+    from ..generators import gen_payload_bodies, gen_site_configs, gen_world_locations
+
+    configs = gen_site_configs()
+    payloads = gen_payload_bodies(configs)
+    dim_rows = gen_world_locations()
+    dim = {r["alias"]: r["tag"] for _, r in dim_rows.iterrows()}
+
+    parsed = _parse_all_py(configs, payloads)
+    # per-strategy clean: api has NO dedupe; rest dropDuplicates (the
+    # (config_idx, page, pos) key makes rows unique anyway — assert it)
+    keys = [(r["config_idx"], r["page"], r["pos"], r["source_kind"]) for r in parsed]
+    assert len(keys) == len(set(keys))
+    out = []
+    for r in parsed:
+        title = _clean_text_py(r["title"])
+        desc = _clean_text_py(r["description"])
+        loc = _clean_location_py(r["location"])
+        rejoined, tags = _location_tags_py(loc, dim)
+        out.append(
+            dict(
+                title=title if title is not None else "NaN",
+                link=r["link"],
+                description=desc if desc is not None else "NaN",
+                pubdate=CLOCK.date(),
+                location="NaN" if rejoined is None else rejoined,
+                timestamp=CLOCK,
+                location_tags=tags,
+                _order=(r["config_idx"], r["page"], r["pos"]),
+            )
+        )
+    # upsert key=link into an empty table: within-batch conflicts resolve
+    # by min over the remaining columns (operators/sink.py contract)
+    by_link: dict[str, dict] = {}
+    for r in out:
+        cur = by_link.get(r["link"])
+        if cur is None:
+            by_link[r["link"]] = r
+        else:
+            key = lambda d: (
+                d["title"], d["description"], str(d["pubdate"]), d["location"],
+                str(d["timestamp"]), d["location_tags"] or [],
+            )
+            if key(r) < key(cur):
+                by_link[r["link"]] = r
+    return list(by_link.values())
+
+
+# ---------------------------------------------------------------------------
+# embed_pipeline: watermark -> wrap/clean/truncate -> prefix -> embed -> upsert
+# ---------------------------------------------------------------------------
+
+
+def _embed_cleanup_py(s: str) -> str:
+    return s.translate({ord(c): None for c in "()',"})
+
+
+def _truncate_ws_py(s: str, max_tokens: int) -> str:
+    toks = [t for t in re.split(r"\s+", s.strip(" ")) if t != ""]
+    return " ".join(toks[:max_tokens])
+
+
+def embed_rows(max_tokens: int = 60, dim: int = 64) -> list[dict]:
+    """The embeddings sink for q_embed_pipeline, re-derived sequentially:
+    id=xxhash64(link), job_info='passage: ' + truncate(wrap(title,
+    location, description)), and the embedding's integer codes
+    k_j = xxhash64(job_info + '|' + j) mod 100000 (the synthetic model's
+    exact integers — the gate fingerprints these, so no float formatting
+    crosses the comparison). Columns: id, job_info, timestamp,
+    embedding_md5."""
+    out = []
+    for r in jobs_rows():
+        wrapped = " ".join(
+            [
+                f"<title> {_embed_cleanup_py(r['title'])} </title>",
+                f"<location> {_embed_cleanup_py(r['location'])} </location>",
+                f"<description> {_embed_cleanup_py(r['description'])} </description>",
+            ]
+        )
+        job_info = "passage: " + _truncate_ws_py(wrapped, max_tokens)
+        codes = [
+            spark_xxhash64_str(f"{job_info}|{j}") % 100000 for j in range(dim)
+        ]
+        fp = hashlib.md5(",".join(str(k) for k in codes).encode()).hexdigest()
+        out.append(
+            dict(
+                id=spark_xxhash64_str(r["link"]),
+                job_info=job_info,
+                timestamp=CLOCK,
+                embedding_md5=fp,
+            )
+        )
+    # upsert key=id into an empty table; ids are distinct by construction
+    assert len({r["id"] for r in out}) == len(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multimodal_pipeline: image/video/audio branches, sequential numpy
+# ---------------------------------------------------------------------------
+
+
+def multimodal_rows() -> list[tuple]:
+    """(kind, media_id, idx, w, h, fmt, metric, fingerprint) for
+    q_multimodal_pipeline's fixtures (96 images, 12 videos, 48 audio) —
+    features recomputed with fresh numpy arithmetic; fingerprints are the
+    gate's scaled-integer md5s (no float-to-string crosses engines)."""
+    import numpy as np
+
+    from .. import fetch_model as FM
+    from ..functions import codecs
+    from ..functions.urls import canonicalize_py
+
+    rows: list[tuple] = []
+    for i in range(96):
+        url = f"http://img42.example.com/i/{i}"
+        data, w, h, fmt, _caption, _ph = FM.fetch_payload(url)
+        img = codecs.decode(data, fmt)
+        means = img.reshape(-1, 3).mean(axis=0)
+        mr, mg, mb = (round(float(m), 4) for m in means)
+        brightness = round(float(means.mean()), 4)
+        fp = hashlib.md5(
+            "|".join(
+                [
+                    str(int(spark_round_py(mr * 10000.0, 0))),
+                    str(int(spark_round_py(mg * 10000.0, 0))),
+                    str(int(spark_round_py(mb * 10000.0, 0))),
+                    str(codecs.phash(img)),
+                ]
+            ).encode()
+        ).hexdigest()
+        rows.append(
+            ("image", canonicalize_py(url), 0, img.shape[1], img.shape[0], fmt,
+             spark_round_py(brightness, 4), fp)
+        )
+    for i in range(12):
+        d = FM.url_digest(f"video:42:{i}")
+        w, h = 8 + (d >> 8) % 25, 8 + (d >> 16) % 25
+        nf = 5 + d % 20
+        frames = codecs.synth_video(d, int(w), int(h), int(nf))
+        for fno in range(0, len(frames), 5):
+            png = codecs.encode(frames[fno], "png")
+            rows.append(
+                ("video_frame", f"v{i:04d}", fno, int(frames.shape[2]),
+                 int(frames.shape[1]), "png", None,
+                 hashlib.md5(png).hexdigest())
+            )
+    for i in range(48):
+        d = FM.url_digest(f"audio:42:{i}")
+        samples = codecs.synth_audio(d, int(1000 + d % 8000))
+        x = samples.astype(np.float64)
+        rate = 16000
+        n = len(samples)
+        duration = round(n / rate, 6)
+        rms = round(float(np.sqrt((x**2).mean())), 4)
+        zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+        peak = int(np.abs(samples.astype(np.int32)).max()) if n else 0
+        fp = hashlib.md5(
+            "|".join(
+                [str(n), str(zc), str(peak),
+                 str(int(spark_round_py(duration * 1000000.0, 0)))]
+            ).encode()
+        ).hexdigest()
+        rows.append(("audio", f"a{i:04d}", 0, None, None, "pcm16",
+                     spark_round_py(rms, 4), fp))
+    return rows
