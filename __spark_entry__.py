@@ -619,13 +619,9 @@ def _e2e_fixture_oracles() -> dict[str, str]:
         return f"SELECT * FROM (VALUES\n              {body}) AS t({cols})"
 
     out = {}
-    out["crawl_round"] = values(
-        [
-            f"({_sql_str(i)}, {w}, {h}, {_sql_str(f)}, {_sql_str(c)}, "
-            f"CAST({p} AS BIGINT))"
-            for i, w, h, f, c, p in X.crawl_round_rows()
-        ],
-        "image_id, w, h, fmt, caption, phash",
+    out["crawl_recrawl"] = values(
+        [f"({r}, {_sql_str(u)})" for r, u in X.crawl_recrawl_rows()],
+        "round, url",
     )
     out["extract_verify"] = values(
         [
@@ -1380,32 +1376,40 @@ def q_text_signatures(spark, sf):
 # --- non-SQL-expressible (verified vs oracle simulator in pytest) -----------
 
 
-def q_crawl_round(spark, sf):
-    """S2/K1/P5/W4 composed: one bounded crawl round (mapInPandas fetch).
-    HASH-GREEN since r5: the oracle inlines the single-threaded
-    simulator's landed rows (oracle/expected.py:crawl_round_rows) as
-    VALUES; full multi-round equivalence stays pinned by
-    tests/test_equivalence.py.
+def q_crawl_recrawl(spark, sf):
+    """S2/K1/P5/W4 + the r5 re-crawl policy composed (gate renamed from
+    crawl_round, whose single round is a strict subset of this run):
+    FOUR bounded crawl rounds (mapInPandas fetch) with recrawl_after=1 —
+    URLs fetched in round f are forgotten (cuckoo-deletable seen set;
+    here the default bloom stays stale-conservative) and re-enqueued at
+    round f + 2. Returns the fetch log (round, url): the one observable
+    that selection order, politeness budgets, the seen-set block and the
+    expiry/re-enqueue policy all fold into. HASH-GREEN: the oracle
+    inlines the single-threaded simulator's log
+    (oracle/expected.py:crawl_recrawl_rows) as VALUES; multi-round + both
+    prefilter backends stay pinned by tests/test_equivalence.py and
+    tests/test_recrawl.py. The crawled-images payload path this gate no
+    longer returns is hash-green via extract_verify and asserted vs the
+    simulator in tests/test_equivalence.py.
 
     The fixture is tiny (200 seeds), so wall time is pure Spark-job fixed
     cost — shuffle partitions are dropped to 4 for the duration (restored
-    after) so the ~15 jobs of a round don't each schedule 32 tasks."""
-    import pandas as pd
-
+    after) so each round's ~15 jobs don't each schedule 32 tasks."""
     from jobscrawler_spark.engine import CrawlEngine
     from jobscrawler_spark.generators import gen_politeness, gen_robots, gen_seeds
 
-    base = tempfile.mkdtemp(prefix="q_crawl_round_")
+    base = tempfile.mkdtemp(prefix="q_crawl_recrawl_")
     try:
         with _small_shuffle(spark):
             eng = CrawlEngine(
-                spark, base, n_shards=4, default_budget=4, max_depth=0, fetch_partitions=4
+                spark, base, n_shards=4, default_budget=4, max_depth=0,
+                fetch_partitions=4, recrawl_after=1,
             )
             eng.bootstrap(
                 gen_seeds(n=200, n_hosts=8, seed=7), gen_politeness(8, seed=7), gen_robots(8, seed=7)
             )
-            eng.run(1)
-            out = eng.images_df().select("image_id", "w", "h", "fmt", "caption", "phash")
+            eng.run(4)
+            out = eng.fetch_log().select("round", "url")
             return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1544,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     battle-tested TPC-H-shape gates are the ones that would overflow."""
     return {
         # -- r5 additions ---------------------------------------------------
+        "crawl_recrawl": q_crawl_recrawl,  # renamed from crawl_round (superset run)
         "text_bpe": q_text_bpe,
         # -- r4 additions ---------------------------------------------------
         "image_dedup_clusters": q_image_dedup_clusters,
@@ -1555,8 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "dedup_paragraphs": q_dedup_paragraphs,
         "image_phash_neardup": q_image_phash_neardup,
-        # -- end-to-end entry-point DAGs (rows-only by documented exemption) -
-        "crawl_round": q_crawl_round,
+        # -- end-to-end entry-point DAGs ------------------------------------
         "jobs_pipeline": q_jobs_pipeline,
         "embed_pipeline": q_embed_pipeline,
         "extract_verify": q_extract_verify,
@@ -2226,6 +2230,4 @@ def _oracle_sql_static() -> dict[str, str]:
                     OR top_trigram_frac > 0.16) AS rejected
             FROM fr
         """,
-        # crawl_round: intentionally no oracle (mapInPandas fetch round);
-        # exact-equivalence is proven by tests/test_equivalence.py.
     }

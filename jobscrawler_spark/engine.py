@@ -90,6 +90,7 @@ class CrawlEngine:
         prefilter: str = "bloom",  # or "cuckoo" (north_star's alternative)
         seen_partition_writes: bool = True,
         frontier_partition_writes: bool = True,
+        recrawl_after: int | None = None,
     ):
         self.spark = spark
         self.base = base_path
@@ -116,6 +117,12 @@ class CrawlEngine:
         self.seen = SeenSet(
             base_path, n_shards, prefilter=prefilter, partition_writes=seen_partition_writes
         )
+        # re-crawl policy (r5): URLs fetched in round f are forgotten and
+        # re-enqueued at the start of round f + recrawl_after + 1. Derived
+        # purely from the round number, so resume needs no extra state.
+        if recrawl_after is not None and recrawl_after < 1:
+            raise ValueError("recrawl_after must be >= 1 (or None)")
+        self.recrawl_after = recrawl_after
         self.next_round = 0
 
     # ------------------------------------------------------------------ dims
@@ -206,9 +213,53 @@ class CrawlEngine:
         return self._n_salts
 
     # ----------------------------------------------------------- round loop
+    def _seen_min_round(self) -> int | None:
+        """Oldest round_added still blocking (re-crawl mode): rows from
+        rounds <= the current cutoff are logically expired."""
+        cutoff = getattr(self, "_recrawl_cutoff", None)
+        return None if cutoff is None or cutoff < 0 else cutoff + 1
+
+    def _expire_and_reenqueue(self, r: int) -> None:
+        """Re-crawl policy step (runs before the round reads the frontier):
+        forget the URLs fetched in round r - recrawl_after - 1 (cuckoo
+        prefilter deletes their fingerprints; blooms stay conservative)
+        and re-enqueue them as fresh frontier rows eligible this round."""
+        from .functions.urls import host_col
+
+        cutoff = r - self.recrawl_after - 1
+        self._recrawl_cutoff = cutoff
+        if cutoff < 0:
+            return
+        expired = self.seen.expire(self.spark, cutoff)
+        if expired is None:
+            return
+        try:
+            renew = (
+                expired.withColumn("host", host_col(F.col("url")))
+                .withColumn(
+                    "priority",
+                    F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double")
+                    / 1_000_000.0,
+                )
+                .withColumn("depth", F.lit(0))
+                .withColumn("not_before_round", F.lit(r))
+                .withColumn("attempts", F.lit(0))
+                .select([f.name for f in FRONTIER.fields])
+            )
+            # added_in = r - 1: re-enqueued rows were conceptually present
+            # BEFORE round r, so round-r delay events apply to them (links
+            # minted in round r stay exempt) — and the round-aware
+            # tombstone anti-join (removed_in >= added_in) no longer kills
+            # them: their fetch round is <= r - 2 for recrawl_after >= 1.
+            self.frontier.insert(renew, r - 1)
+        finally:
+            expired.unpersist()
+
     def run_round(self) -> dict:
         r = self.next_round
         t0 = time.monotonic()
+        if self.recrawl_after is not None:
+            self._expire_and_reenqueue(r)
         frontier_snap = self.frontier.version()
         frontier_df = self.frontier.read(self.spark)
 
@@ -288,7 +339,10 @@ class CrawlEngine:
             )
             # within-round URL dedupe (min depth) folds into the probe's
             # shard cogroup — url determines shard, so it is shard-local
-            links = self.seen.filter_unseen(self.spark, links, dedupe_min_depth=True)
+            links = self.seen.filter_unseen(
+                self.spark, links, dedupe_min_depth=True,
+                min_round_added=self._seen_min_round(),
+            )
             # within-frontier dedupe: a link already pending must not
             # re-enter (frontier_df is bound to the round-start snapshot).
             # The anti-join's frontier side is PRUNED to the link batch's
@@ -357,8 +411,9 @@ class CrawlEngine:
                 f_delay.result()
         if self.frontier.maybe_compact(self.spark, r):
             # same cadence: fold the seen table's per-round appends so the
-            # probe's union-of-snapshots read stays bounded (seen_set.compact)
-            self.seen.compact(self.spark)
+            # probe's union-of-snapshots read stays bounded (seen_set.compact);
+            # re-crawl mode also physically drops logically-expired rows here
+            self.seen.compact(self.spark, min_round_added=self._seen_min_round())
         t_frontier = time.monotonic()
 
         stats = {

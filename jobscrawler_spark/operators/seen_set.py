@@ -103,6 +103,7 @@ def _size_for(n_items: int) -> int:
 
 class _BloomBackend:
     name = "bloom"
+    can_delete = False
 
     @staticmethod
     def size_for(n_items: int) -> int:
@@ -124,9 +125,17 @@ class _BloomBackend:
     def test(buf: bytes, hashes: np.ndarray, size: int) -> np.ndarray:
         return bloom_test(buf, hashes, size)
 
+    @staticmethod
+    def remove(buf: bytes, size: int, hashes: np.ndarray):
+        """Blooms cannot delete: return None (= leave the filter stale).
+        Stale bits are CONSERVATIVE — a false 'maybe' only costs the
+        exact-backstop anti-join, never a wrong answer."""
+        return None
+
 
 class _CuckooBackend:
     name = "cuckoo"
+    can_delete = True
 
     @staticmethod
     def size_for(n_items: int) -> int:
@@ -160,6 +169,17 @@ class _CuckooBackend:
         from . import cuckoo
 
         return cuckoo.contains(cuckoo.load(buf, size), hashes)
+
+    @staticmethod
+    def remove(buf: bytes, size: int, hashes: np.ndarray):
+        """The cuckoo filter's capability the bloom lacks (cuckoo.delete):
+        returns (new bytes, n fingerprints removed). Only valid for items
+        actually inserted — the seen-set expiry path guarantees that."""
+        from . import cuckoo
+
+        table = cuckoo.load(buf, size)
+        found = cuckoo.delete(table, hashes)
+        return table.tobytes(), int(found.sum())
 
 
 PREFILTERS = {"bloom": _BloomBackend, "cuckoo": _CuckooBackend}
@@ -294,7 +314,73 @@ class SeenSet:
         if needs_rebuild:
             self._rebuild_shards(spark, needs_rebuild)
 
-    def compact(self, spark: SparkSession) -> None:
+    def expire(self, spark: SparkSession, round_added: int):
+        """Forget the URLs fetched in exactly ``round_added`` (the engine's
+        re-crawl-after-N-rounds policy calls this once per round, so each
+        round value is processed exactly once). Returns the expired rows
+        (url_hash, url, shard — PERSISTED; caller unpersists) or None when
+        there are none.
+
+        Expiry is LOGICAL on the exact set: rows stay until compact()
+        drops them, and probes pass ``min_round_added`` to ignore them —
+        an O(seen) rewrite per round would be the scale-killer. The
+        PREFILTER however is updated eagerly where the backend supports
+        it: the cuckoo filter DELETES the expired fingerprints per shard
+        (cogrouped map, O(expired + touched shards) — the deletable
+        capability blooms lack, operators/cuckoo.py); the bloom backend
+        stays stale-conservative (a stale bit costs one exact-backstop
+        probe, never a wrong answer). The expired-row scan prunes by
+        parquet round_added min/max stats: each per-round append snapshot
+        holds a single round value."""
+        if self.seen.current_snapshot is None:
+            return None
+        expired = (
+            self.seen.read(spark)
+            .filter(F.col("round_added") == round_added)
+            .select("url_hash", "url", "shard")
+            .persist()
+        )
+        if expired.count() == 0:
+            expired.unpersist()
+            return None
+        backend = self.backend
+        if not backend.can_delete or self.bloom.current_snapshot is None:
+            return expired  # bloom: leave the filter stale-conservative
+        old_bloom = self.bloom.read(spark)
+
+        def drop(key, exp_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+            if exp_pdf.empty or bloom_pdf.empty:
+                return bloom_pdf.iloc[0:0]
+            row = bloom_pdf.iloc[0]
+            size = int(row["n_bits"])
+            if size == 0:
+                return bloom_pdf  # capacity-flag row: rebuild will rebuild from the exact set
+            hashes = exp_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+            bits, n_removed = backend.remove(bytes(row["bits"]), size, hashes)
+            return pd.DataFrame(
+                [
+                    {
+                        "shard": int(key[0]),
+                        "bits": bits,
+                        "n_items": int(row["n_items"]) - n_removed,
+                        "n_bits": size,
+                        "n_hashes": int(row["n_hashes"]),
+                    }
+                ]
+            )
+
+        updated = (
+            expired.groupBy("shard")
+            .cogroup(old_bloom.groupBy("shard"))
+            .applyInPandas(drop, schema=SEEN_BLOOM)
+        )
+        untouched = old_bloom.join(expired.select("shard").distinct(), "shard", "left_anti")
+        self.bloom.overwrite(
+            updated.unionByName(untouched), meta={"expired_round": round_added}
+        )
+        return expired
+
+    def compact(self, spark: SparkSession, min_round_added: int | None = None) -> None:
         """Fold the per-round appended snapshots into one overwrite.
 
         The snapshot layer reads a partitioned table as a UNION of
@@ -304,12 +390,23 @@ class SeenSet:
         the frontier's compact_every cadence, bounding the union at
         compact_every snapshots. (Real Iceberg makes this unnecessary:
         its manifests give appends a single-scan read; this is the
-        emulation layer's equivalent maintenance action.)"""
+        emulation layer's equivalent maintenance action.)
+
+        ``min_round_added`` (re-crawl mode): physically drop the
+        logically-expired rows while we are rewriting anyway — expiry
+        itself never pays an O(seen) write. The fold is sorted by
+        round_added within partitions so the expiry scan's
+        ``round_added == cutoff`` filter keeps parquet row-group min/max
+        pruning over the compacted base too (pre-compaction appends
+        prune for free: one round value per snapshot)."""
         if self.seen.current_snapshot is None:
             return
         rows = self.seen.read(spark)
+        if min_round_added is not None:
+            rows = rows.filter(F.col("round_added") >= min_round_added)
         if self.partition_writes:
             rows = rows.repartition(F.col("shard"))
+        rows = rows.sortWithinPartitions("round_added")
         self.seen.overwrite(
             rows,
             meta={"compact": True},
@@ -349,6 +446,7 @@ class SeenSet:
         spark: SparkSession,
         candidates: DataFrame,
         dedupe_min_depth: bool = False,
+        min_round_added: int | None = None,
     ) -> DataFrame:
         """Rows of ``candidates`` whose (url_hash, url) is not in the set.
 
@@ -358,6 +456,11 @@ class SeenSet:
         ``dedupe_min_depth``: url determines shard, so within-batch URL
         dedupe (keeping min depth) is shard-local — folding it into the
         probe saves the caller a full shuffle.
+
+        ``min_round_added`` (re-crawl mode): seen rows with
+        round_added < min_round_added are logically expired and do NOT
+        block — the filter rides the exact backstop's pruned scan; a
+        stale bloom hit on an expired URL just falls through to it.
         """
         if self.seen.current_snapshot is None and self.bloom.current_snapshot is None:
             # empty set (bootstrap / first round): nothing can be seen, so
@@ -377,6 +480,8 @@ class SeenSet:
                 .drop("__rn")
             )
         seen_df = self.seen.read(spark)
+        if min_round_added is not None:
+            seen_df = seen_df.filter(F.col("round_added") >= min_round_added)
         bloom_df = self.bloom.read(spark)
 
         cand_cols = candidates.columns

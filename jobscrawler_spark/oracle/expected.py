@@ -57,27 +57,31 @@ def _nan_if_empty(s: str | None) -> str:
 
 
 # ---------------------------------------------------------------------------
-# crawl_round: one engine round re-derived by the oracle simulator
+# crawl_recrawl: the engine round loop + re-crawl policy, re-derived by
+# the oracle simulator
 # ---------------------------------------------------------------------------
 
 
-def crawl_round_rows() -> list[tuple]:
-    """(image_id, w, h, fmt, caption, phash) for q_crawl_round's fixture:
-    gen_seeds(200, 8 hosts, seed 7), budget 4, depth 0, one round — the
-    single-threaded simulator computes the landed set sequentially."""
+def crawl_recrawl_rows() -> list[tuple]:
+    """(round, url) fetch log for q_crawl_recrawl's fixture: gen_seeds(200,
+    8 hosts, seed 7), budget 4, depth 0, FOUR rounds with recrawl_after=1
+    — URLs fetched in round f are forgotten and re-enqueued at round
+    f + 2, so the log pins selection order, politeness, the seen-set
+    block AND the r5 expiry/re-enqueue policy in one observable. The
+    single-threaded simulator computes it sequentially."""
     from ..generators import gen_politeness, gen_robots, gen_seeds
     from .simulator import OracleCrawler
 
     orc = OracleCrawler(
         gen_politeness(8, seed=7), gen_robots(8, seed=7), default_budget=4,
-        max_depth=0, n_shards=4,
+        max_depth=0, n_shards=4, recrawl_after=1,
     )
     orc.bootstrap(gen_seeds(n=200, n_hosts=8, seed=7))
-    orc.run(1)
-    return [
-        (d["image_id"], d["w"], d["h"], d["fmt"], d["caption"], d["phash"])
-        for d in orc.landed
-    ]
+    orc.run(4)
+    # landed (status-200) rows — the engine's fetch_log() is the landed
+    # log (images table ordered by the determinism contract); non-200
+    # attempts are P6-filtered in both engines
+    return [(d["round"], d["url"]) for d in orc.landed]
 
 
 # ---------------------------------------------------------------------------

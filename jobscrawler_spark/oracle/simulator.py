@@ -47,8 +47,12 @@ class OracleCrawler:
     default_budget: int = 8
     max_depth: int = 2
     n_shards: int = 16
+    recrawl_after: int | None = None  # re-crawl policy (r5): forget + re-enqueue
     frontier: dict[str, FrontierEntry] = field(default_factory=dict)
     seen: set[str] = field(default_factory=set)
+    # url -> round fetched (drives the re-crawl expiry; seen stays a set
+    # so equivalence tests compare engine seen-URLs to it directly)
+    seen_round: dict[str, int] = field(default_factory=dict)
     fetch_log: list[tuple[int, str]] = field(default_factory=list)  # (round, url)
     landed: list[dict] = field(default_factory=list)
     round_no: int = 0
@@ -106,6 +110,18 @@ class OracleCrawler:
 
     def run_round(self) -> dict:
         r = self.round_no
+        # re-crawl policy: at round start, URLs fetched in round
+        # r - recrawl_after - 1 are forgotten and re-enqueued (depth 0,
+        # link-rule priority, eligible immediately) — mirrors
+        # CrawlEngine._expire_and_reenqueue exactly
+        if self.recrawl_after is not None:
+            cutoff = r - self.recrawl_after - 1
+            if cutoff >= 0:
+                for url, fetched_round in list(self.seen_round.items()):
+                    if fetched_round == cutoff:
+                        self.seen.discard(url)
+                        del self.seen_round[url]
+                        self.frontier[url] = FrontierEntry(self._priority_of(url), 0, r)
         by_host: dict[str, list[tuple[float, str]]] = {}
         for url, e in self.frontier.items():
             if e.not_before_round <= r:
@@ -129,6 +145,7 @@ class OracleCrawler:
             depth = self.frontier[url].depth
             self.fetch_log.append((r, url))
             self.seen.add(url)
+            self.seen_round[url] = r
             status = FM.fetch_status(url)
             if status == 200:
                 n_ok += 1

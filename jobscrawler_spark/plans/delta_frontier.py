@@ -8,9 +8,12 @@ O(round size) instead of O(frontier size):
 
 - ``rows``   (FRONTIER_STORED): append-only inserts, each row stamped with
   the round it was inserted in (``added_in``; bootstrap rows get -1).
-  Unique by (url_hash, url) by construction — a URL enters the frontier at
-  most once (outlinks are anti-joined against seen ∪ frontier first) and a
-  fetched URL is in the seen set forever after, so it can never re-enter.
+  LIVE rows are unique by (url_hash, url): a URL enters the frontier at
+  most once while pending (outlinks are anti-joined against seen ∪
+  frontier first) and a fetched URL sits in the seen set. Under the
+  re-crawl policy (r5) an EXPIRED URL re-enters with a fresh added_in —
+  the tombstone anti-join is round-aware (removed_in >= added_in), so the
+  old tombstone kills only the old row.
 - ``tombstones`` (FRONTIER_RM): per-round append of the fetched URLs.
   Removal = left-anti join at read time.
 - ``delays`` (FRONTIER_DELAY): per-round append of host-level crawl-delay
@@ -115,12 +118,29 @@ class DeltaFrontier:
     # -- merge-on-read -------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         """The effective frontier (FRONTIER columns, pushbacks folded in)."""
-        rm = self.rm.read(spark).select("url_hash", "url")
+        rm = self.rm.read(spark).select(
+            F.col("url_hash").alias("__rm_hash"),
+            F.col("url").alias("__rm_url"),
+            "removed_in",
+        )
         if self.tombstone_rows() <= self.max_tombstone_rows:
             rm = F.broadcast(rm)
         # else: shuffle anti-join — same result, no driver-side collect of
         # an over-bound tombstone set (compaction fires at this round's end)
-        live = self.rows.read(spark).join(rm, ["url_hash", "url"], "left_anti")
+        rows = self.rows.read(spark)
+        # ROUND-AWARE removal (r5 re-crawl support): a tombstone only kills
+        # rows inserted at or before it (removed_in >= added_in), so a URL
+        # re-enqueued by seen-set expiry AFTER its fetch survives its own
+        # old tombstone. Without re-crawl the condition is always true
+        # (a row is always inserted before it is fetched) — plan unchanged:
+        # still a hash anti-join on the equi keys with a residual filter.
+        live = rows.join(
+            rm,
+            (rows["url_hash"] == F.col("__rm_hash"))
+            & (rows["url"] == F.col("__rm_url"))
+            & (F.col("removed_in") >= rows["added_in"]),
+            "left_anti",
+        )
         ev = (
             self.delay.read(spark)
             .groupBy("host")
