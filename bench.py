@@ -87,6 +87,12 @@ MR_BUDGET = int(os.environ.get("BENCH_MR_BUDGET", "2"))
 DO_SKEW = os.environ.get("BENCH_SKEW", "1") == "1"
 SKEW_SEEDS = int(os.environ.get("BENCH_SKEW_SEEDS", "200000"))
 SKEW_HOSTS = int(os.environ.get("BENCH_SKEW_HOSTS", "512"))
+# sf1-scale decontamination (r4 verdict task 5): the gate's sf0.1 run is
+# fixed-cost dominated; this section measures the operator at 10x docs
+# with a realistic stop-gram distribution
+DO_DECON = os.environ.get("BENCH_DECON", "1") == "1"
+DECON_DOCS = int(os.environ.get("BENCH_DECON_DOCS", "50000"))
+DECON_BENCH_DOCS = int(os.environ.get("BENCH_DECON_BENCH_DOCS", "200"))
 
 # driver memory must be set before the first JVM spins up
 os.environ.setdefault("SPARK_DRIVER_MEM", "60g")
@@ -239,6 +245,7 @@ def run_crawl(
     rounds: int | None = None,
     budget: int | None = None,
     with_probes: bool = False,
+    probe_per_round: bool = False,
 ) -> dict:
     import pandas as pd
 
@@ -279,7 +286,14 @@ def run_crawl(
         probes = run_probes() if with_probes else {}
         t0 = time.monotonic()
         stats = []
+        round_probes = []
         for _ in range(rounds):
+            if probe_per_round:
+                # a probe immediately PRECEDING each round attributes any
+                # wall spike in the flat-line table to host contention
+                # (r4 verdict task 7: the ratio swung 0.558->1.163 across
+                # rounds with no per-round attribution)
+                round_probes.append(run_probes())
             s = eng.run_round()
             log(f"    round {s['round']}: {s['selected']} urls, {s['wall_s']:.1f}s, {s.get('phases')}")
             stats.append(s)
@@ -297,6 +311,7 @@ def run_crawl(
             "phases": stats[0].get("phases") if stats else None,
             "round_walls": [round(s["wall_s"], 2) for s in stats],
             "round_urls": [s["selected"] for s in stats],
+            "round_probes": round_probes or None,
         }
         out.update(probes)
         return out
@@ -392,6 +407,113 @@ def run_skew_bench(spark, cores: int) -> dict:
     return out
 
 
+def run_decon_scale(spark) -> dict:
+    """Decontamination at sf1-equivalent scale (r4 verdict task 5).
+
+    The ``decontaminate_ngram`` gate runs at sf0.1 (5k docs), where Spark
+    per-stage fixed cost dominates its wall. This section measures the
+    operator at DECON_DOCS (default 50k = 10x) over a corpus synthesized
+    DETERMINISTICALLY (seed 42) from the sf0.1 documents token stream —
+    each doc concatenates 2-4 contiguous token spans — with the two
+    ingredients whose interaction the DF cap exists for:
+
+    - **boilerplate**: one fixed 30-token block appended to ~30% of
+      corpus docs AND ~20% of benchmark docs (web boilerplate lands in
+      scraped eval sets too). Its 8-grams are matched grams with corpus
+      document frequency in the tens of thousands — without the
+      ``max_doc_freq=64`` cap each would join ~DECON_DOCS*0.3 corpus
+      rows against every boilerplated bench doc.
+    - **contamination**: ~1% of corpus docs quote a verbatim 12-token
+      span of a benchmark doc (bench docs come from a HELD-OUT tail of
+      the token stream, so true contamination is injected, not
+      incidental).
+
+    Reports the operator wall plus the observed bucket-size bound the
+    SCALING.md claim rests on: matched-gram document-frequency max
+    before the cap, matched grams the cap drops, and the max surviving
+    bucket (<= 64 by construction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from jobscrawler_spark.operators.corpus import _gram_hashes, decontaminate_ngram
+
+    rng = np.random.default_rng(42)
+    base = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_values("doc_id")
+    stream = " ".join(base["text"].tolist()).split()
+    cut = int(len(stream) * 0.9)
+    pool, held = stream[:cut], stream[cut:]
+    footer = pool[1000:1030]
+
+    bench_rows = []
+    for j in range(DECON_BENCH_DOCS):
+        start = int(rng.integers(0, len(held) - 81))
+        length = int(rng.integers(40, 81))
+        toks = held[start : start + length]
+        if j % 5 == 0:
+            toks = toks + footer
+        bench_rows.append((f"b{j:04d}", " ".join(toks)))
+
+    doc_rows = []
+    for i in range(DECON_DOCS):
+        parts: list[str] = []
+        for _ in range(int(rng.integers(2, 5))):
+            start = int(rng.integers(0, len(pool) - 41))
+            parts.extend(pool[start : start + int(rng.integers(15, 41))])
+        if i % 100 == 0:
+            quoted = bench_rows[(i // 100) % DECON_BENCH_DOCS][1].split()
+            qs = int(rng.integers(0, max(1, len(quoted) - 12)))
+            parts.extend(quoted[qs : qs + 12])
+        if i % 10 < 3:
+            parts.extend(footer)
+        doc_rows.append((f"d{i:06d}", " ".join(parts)))
+
+    tmp = tempfile.mkdtemp(prefix="bench_decon_")
+    try:
+        spark.createDataFrame(
+            pd.DataFrame(doc_rows, columns=["doc_id", "text"])
+        ).repartition(CPUS * 2).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        bench_df = spark.createDataFrame(
+            pd.DataFrame(bench_rows, columns=["bench_id", "text"])
+        )
+        t0 = time.monotonic()
+        n_pairs = decontaminate_ngram(docs, bench_df).count()
+        wall = round(time.monotonic() - t0, 2)
+
+        # untimed diagnostics: the matched-gram DF distribution the cap acts on
+        bg = _gram_hashes(bench_df, "text", "bench_id", 8).select("gram").distinct()
+        dg = _gram_hashes(docs, "text", "doc_id", 8).join(
+            F.broadcast(bg), "gram", "left_semi"
+        )
+        d = (
+            dg.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .agg(
+                F.count("*").alias("matched_grams"),
+                F.max("df").alias("max_gram_df"),
+                F.sum(F.when(F.col("df") > 64, 1).otherwise(0)).alias("capped_grams"),
+                F.max(F.when(F.col("df") <= 64, F.col("df"))).alias("max_bucket_after_cap"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        out = {
+            "docs": DECON_DOCS,
+            "bench_docs": DECON_BENCH_DOCS,
+            "wall_s": wall,
+            "pairs": n_pairs,
+            **{k: (int(v) if v is not None else 0) for k, v in d.items()},
+        }
+        log(f"  decon sf1-scale: {out}")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- estimators
 def mark_contended(samples: list[dict]) -> None:
     """Apply the exclusion RULE in place: a sample is contended when its
@@ -426,6 +548,7 @@ def write_baseline_md(
     multi_round: dict | None,
     all_samples: list[dict] | None = None,
     skew: dict | None = None,
+    decon: dict | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -517,19 +640,44 @@ def write_baseline_md(
             "writes O(round); compaction fires on the round-8 cadence inside",
             "this window):",
             "",
-            "| round | URLs | wall (s) |",
-            "|---|---|---|",
         ]
-        for i, (u, w) in enumerate(
-            zip(multi_round["round_urls"], multi_round["round_walls"])
-        ):
-            lines.append(f"| {i} | {u} | {w} |")
+        probes = multi_round.get("round_probes")
+        if probes:
+            # same attribution rule as the scaling table: probe PRECEDES the
+            # round; contended = cpu or disk probe above slack x session min
+            min_cpu = min(p["probe_cpu"] for p in probes)
+            min_disk = min(p["probe_disk"] for p in probes)
+            lines += [
+                "| round | URLs | wall (s) | probe cpu (s) | probe disk (s) | contended |",
+                "|---|---|---|---|---|---|",
+            ]
+            for i, (u, w, p) in enumerate(
+                zip(multi_round["round_urls"], multi_round["round_walls"], probes)
+            ):
+                contended = (
+                    p["probe_cpu"] > PROBE_CPU_SLACK * min_cpu
+                    or p["probe_disk"] > PROBE_DISK_SLACK * min_disk
+                )
+                lines.append(
+                    f"| {i} | {u} | {w} | {p['probe_cpu']} | {p['probe_disk']} "
+                    f"| {'X' if contended else ''} |"
+                )
+        else:
+            lines += [
+                "| round | URLs | wall (s) |",
+                "|---|---|---|",
+            ]
+            for i, (u, w) in enumerate(
+                zip(multi_round["round_urls"], multi_round["round_walls"])
+            ):
+                lines.append(f"| {i} | {u} | {w} |")
         lines += [
             "",
             f"last-round/round-2 wall ratio: **{multi_round['wall_ratio_last_over_second']}** "
             f"(median late/early ratio {multi_round['wall_ratio_median']}; "
             "target <= 1.3; single-round ratios carry the VM's documented "
-            "contention noise — the median ratio is the robust signal).",
+            "contention noise — the median ratio is the robust signal, and "
+            "the probe columns attribute each wall spike per round).",
         ]
     if skew:
         lines += [
@@ -554,6 +702,29 @@ def write_baseline_md(
                 f"| {v} | {s['n_busy_partitions']} | {s['max_ms']} | {s['median_ms']} "
                 f"| {s['max_over_median']} |"
             )
+    if decon:
+        lines += [
+            "",
+            "## Decontamination at sf1-equivalent scale (10x the gate's corpus)",
+            "",
+            f"{decon['docs']} synthetic docs (deterministic span recombination of "
+            f"the sf0.1 token stream, seed 42), {decon['bench_docs']} benchmark docs "
+            "from a held-out stream tail; one fixed 30-token boilerplate block on",
+            "~30% of corpus docs and ~20% of bench docs (the stop-gram stress the",
+            "DF cap exists for), verbatim 12-token bench quotes in ~1% of docs.",
+            "",
+            "| docs | wall (s) | contaminated pairs | matched grams | max gram DF (pre-cap) | grams dropped by cap | max bucket after cap |",
+            "|---|---|---|---|---|---|---|",
+            f"| {decon['docs']} | {decon['wall_s']} | {decon['pairs']} "
+            f"| {decon['matched_grams']} | {decon['max_gram_df']} "
+            f"| {decon['capped_grams']} | {decon['max_bucket_after_cap']} |",
+            "",
+            "The observed bucket bound: every joined gram bucket holds <= "
+            f"{decon['max_bucket_after_cap']} corpus rows (cap 64), while the "
+            f"hottest matched gram had {decon['max_gram_df']} corpus occurrences "
+            "— the cap is what keeps the join's per-key fan-out bounded at any",
+            "corpus size (SCALING.md \"Training-data operators at 100 TB\").",
+        ]
     lines += ["", "## Headline query timings (sf0.1, local[%d])" % main_run["cores"], ""]
     lines.append("| query | sec |")
     lines.append("|---|---|")
@@ -671,7 +842,8 @@ def main() -> None:
         log(f"== multi-round flat-line: {MR_ROUNDS} rounds on local[{CPUS}] ==")
         spark = _new_session(CPUS)
         mr = run_crawl(
-            spark, CPUS, n_seeds=MR_SEEDS, rounds=MR_ROUNDS, budget=MR_BUDGET
+            spark, CPUS, n_seeds=MR_SEEDS, rounds=MR_ROUNDS, budget=MR_BUDGET,
+            probe_per_round=True,
         )
         walls = mr["round_walls"]
         early = statistics.median(walls[1:4]) if len(walls) >= 4 else walls[0]
@@ -684,6 +856,7 @@ def main() -> None:
             "urls_per_sec": mr["urls_per_sec"],
             "round_walls": walls,
             "round_urls": mr["round_urls"],
+            "round_probes": mr.get("round_probes"),
             # named for what it IS (ADVICE r3: "wall_ratio_10_2" silently
             # mislabeled under an overridden round count)
             "wall_ratio_last_over_second": (
@@ -705,6 +878,12 @@ def main() -> None:
             "unsalted_max_over_median": skew_full["unsalted"]["max_over_median"],
         }
 
+    decon = None
+    if DO_DECON:
+        log(f"== decontamination at sf1-equivalent scale ({DECON_DOCS} docs) ==")
+        spark = _new_session(CPUS)
+        decon = run_decon_scale(spark)
+
     log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
     # fresh session: residue from earlier phases measurably slows crawls
     spark = _new_session(CPUS)
@@ -722,7 +901,7 @@ def main() -> None:
         ]
     write_baseline_md(
         main_run, pair_runs, queries, scaling, multi_round, all_samples,
-        skew_full if DO_SKEW else None,
+        skew_full if DO_SKEW else None, decon,
     )
 
     # stdout carries HEADLINE fields only — the driver's tail capture is
@@ -769,6 +948,7 @@ def main() -> None:
         "scaling": scaling_slim,
         "multi_round": mr_slim,
         "skew": skew,
+        "decon_sf1": decon,
     }
     line = json.dumps(result)
     log(f"stdout JSON line length: {len(line)} chars")
