@@ -619,6 +619,74 @@ def _e2e_fixture_oracles() -> dict[str, str]:
         return f"SELECT * FROM (VALUES\n              {body}) AS t({cols})"
 
     out = {}
+    # pack_sequences (kind-tagged since r5): text branch is pure SQL over
+    # the documents view; image branch runs the SAME bucket + window SQL
+    # over the curation fixture's (image_id, w, h) inlined as VALUES —
+    # a live SQL oracle, not a precomputed output table
+    from jobscrawler_spark.generators import gen_curation_images
+
+    img_rows = ",\n              ".join(
+        f"({_sql_str(r.image_id)}, {int(r.w)}, {int(r.h)})"
+        for r in gen_curation_images(160)[["image_id", "w", "h"]].itertuples()
+    )
+    out["pack_sequences"] = f"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(list_filter({_TOK}, t -> t <> '')) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM t),
+        txt AS (
+          SELECT 'text' AS kind, source AS grp,
+                 CAST(doc_id AS VARCHAR) AS item_id,
+                 CAST(n_tokens AS INT) AS n_units,
+                 CAST(pre // 256 AS BIGINT) AS bin_id,
+                 CAST(pre % 256 AS INT) AS bin_offset
+          FROM c),
+        imgs(image_id, w, h) AS (VALUES
+              {img_rows}),
+        ib AS (
+          SELECT image_id,
+                 CASE WHEN w*32 < 17*h THEN 'r1x2'
+                      WHEN w*32 < 21*h THEN 'r9x16'
+                      WHEN w*8  < 7*h  THEN 'r3x4'
+                      WHEN w*6  < 7*h  THEN 'r1x1'
+                      WHEN w*9  < 14*h THEN 'r4x3'
+                      WHEN w*9  < 17*h THEN 'r16x9'
+                      ELSE 'r2x1' END
+                 || '|' || substr(md5('pack|' || image_id), 1, 1) AS grp,
+                 w * h AS n_px
+          FROM imgs),
+        ic AS (
+          SELECT grp, image_id, n_px,
+                 coalesce(sum(n_px) OVER (
+                   PARTITION BY grp ORDER BY image_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM ib),
+        img AS (
+          SELECT 'image' AS kind, grp, image_id AS item_id,
+                 CAST(n_px AS INT) AS n_units,
+                 CAST(pre // 65536 AS BIGINT) AS bin_id,
+                 CAST(pre % 65536 AS INT) AS bin_offset
+          FROM ic)
+        SELECT * FROM txt UNION ALL SELECT * FROM img
+    """
+    out["image_curation"] = values(
+        [
+            f"({_sql_str(i)}, {w}, {h}, CAST({asp!r} AS DOUBLE), "
+            f"CAST({lm!r} AS DOUBLE), CAST({ls!r} AS DOUBLE), "
+            f"CAST({en!r} AS DOUBLE), CAST({a6} AS BIGINT), "
+            f"{str(ts).lower()}, {str(ba).lower()}, {str(le).lower()}, "
+            f"{str(lc).lower()}, {str(ma).lower()}, {str(k).lower()})"
+            for i, w, h, asp, lm, ls, en, a6, ts, ba, le, lc, ma, k in X.image_curation_rows()
+        ],
+        "image_id, w, h, aspect, luma_mean, luma_std, entropy, align_e6, "
+        "too_small, bad_aspect, low_entropy, low_contrast, misaligned, keep",
+    )
     out["crawl_recrawl"] = values(
         [f"({r}, {_sql_str(u)})" for r, u in X.crawl_recrawl_rows()],
         "round, url",
@@ -777,21 +845,30 @@ def q_w_sessionize(spark, sf):
     )
 
 
-def q_a_percentiles(spark, sf):
-    """Exact continuous percentiles (median/p90 of order value per
-    priority) — percentile() is exact in both engines."""
+def q_a_stats(spark, sf):
+    """Exact percentiles + ROLLUP in ONE kind-tagged gate (merged r5 from
+    a_percentiles/a_rollup to free a registry slot for image_curation —
+    same two plans, aligned to a (kind, key1, key2, v1, v2, n) shape).
+    'percentile' rows: median/p90 of order value per priority (exact
+    percentile() in both engines). 'rollup' rows: region -> nation ->
+    grand-total revenue hierarchy."""
     o = _t(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.count("*").alias("n"),
+    perc = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.lit("percentile").alias("kind"),
+            F.col("o_orderpriority").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            F.col("p50").alias("v1"),
+            F.col("p90").alias("v2"),
+            "n",
+        )
     )
-
-
-def q_a_rollup(spark, sf):
-    """ROLLUP aggregation (region -> nation -> grand total) — hierarchy
-    totals beyond the reference's flat GROUP BYs."""
-    o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
@@ -800,10 +877,22 @@ def q_a_rollup(spark, sf):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
-    return joined.rollup("r_name", "n_name").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.count("*").alias("n_orders"),
+    roll = (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.lit("rollup").alias("kind"),
+            F.col("r_name").alias("key1"),
+            F.col("n_name").alias("key2"),
+            F.col("revenue").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            F.col("n_orders").alias("n"),
+        )
     )
+    return perc.unionByName(roll)
 
 
 def q_j_asof_join(spark, sf):
@@ -1113,6 +1202,30 @@ def _phash_fixture_df(spark):
     return base.unionByName(variants)
 
 
+def q_image_curation(spark, sf):
+    """Image curation (NEW r5): decode-based quality stats (luma
+    mean/std, 256-bin entropy, aspect) + image-text alignment score
+    (pooled-luma embedding vs the hash caption embedder, cosine in pure
+    Catalyst, integer-scaled) + the LAION/DataComp-style keep verdicts —
+    the image-payload counterpart of text_features/corpus_filter. The
+    fixture (gen_curation_images) plants every defect class: tiny,
+    extreme-aspect, flat, near-flat-low-contrast (min_side=24 here: the
+    fetch model synthesizes thumbnail-scale payloads, so the production
+    default of 64 would flag every normal image and leave keep
+    one-sided). Oracle: sequential
+    fresh-arithmetic recompute (explicit pooling loops, left-to-right
+    cosine, the Python xxhash port) inlined as VALUES. Map-side only —
+    zero shuffles at any corpus size (tests/test_image_curation.py pins
+    the plan)."""
+    from jobscrawler_spark.generators import gen_curation_images
+    from jobscrawler_spark.operators.image_curation import curate_images
+    from jobscrawler_spark.schemas import IMAGES
+
+    return curate_images(
+        spark.createDataFrame(gen_curation_images(160), IMAGES), min_side=24
+    )
+
+
 def q_image_phash_neardup(spark, sf):
     """Image near-dup pairs by phash Hamming LSH (8 bands, hamming<=7 —
     100% recall by pigeonhole). The deterministic image fixtures have
@@ -1164,14 +1277,41 @@ def q_decontaminate_ngram(spark, sf):
 
 
 def q_pack_sequences(spark, sf):
-    """Token-budget SEQUENCE PACKING (NEW r4): the concat-then-chunk batch
-    layout — documents in deterministic (source, doc_id) order, cumulative
-    token counts, bin = floor(preceding/256) per source. The window is
-    PARTITIONED by source (a global-order pack would serialize one
-    partition at 10^10 docs; operators/corpus.py:pack_sequences)."""
-    from jobscrawler_spark.operators.corpus import pack_sequences
+    """Budget packing, kind-tagged (r5 merge): 'text' rows are the r4
+    concat-then-chunk SEQUENCE PACKING (documents in deterministic
+    (source, doc_id) order, cumulative token counts, bin =
+    floor(preceding/256) per source — window PARTITIONED by source, a
+    global-order pack would serialize one partition at 10^10 docs).
+    'image' rows are the NEW r5 aspect-bucketed IMAGE BATCH PACKING over
+    the curation fixture: nearest aspect class by integer
+    cross-multiplication (no transcendental crosses engines), an
+    md5-prefix shard appended to the key (shard_hex_chars=1 — the 7-value
+    class alone would serialize the window at 10^10 images), pixel-budget
+    bins of 65536 (operators/corpus.py:pack_image_batches)."""
+    from jobscrawler_spark.generators import gen_curation_images
+    from jobscrawler_spark.operators.corpus import pack_image_batches, pack_sequences
 
-    return pack_sequences(_t(spark, sf, "documents"), budget=256)
+    text = pack_sequences(_t(spark, sf, "documents"), budget=256).select(
+        F.lit("text").alias("kind"),
+        F.col("source").alias("grp"),
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.col("n_tokens").alias("n_units"),
+        "bin_id",
+        "bin_offset",
+    )
+    imgs = spark.createDataFrame(
+        gen_curation_images(160)[["image_id", "w", "h"]],
+        "image_id string, w int, h int",
+    )
+    image = pack_image_batches(imgs, pixel_budget=65536, shard_hex_chars=1).select(
+        F.lit("image").alias("kind"),
+        F.col("aspect_bucket").alias("grp"),
+        F.col("image_id").alias("item_id"),
+        F.col("n_px").alias("n_units"),
+        "bin_id",
+        "bin_offset",
+    )
+    return text.unionByName(image)
 
 
 def q_corpus_mix(spark, sf):
@@ -1548,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     battle-tested TPC-H-shape gates are the ones that would overflow."""
     return {
         # -- r5 additions ---------------------------------------------------
+        "image_curation": q_image_curation,
+        "a_stats": q_a_stats,  # a_percentiles + a_rollup merged (slot freed)
         "crawl_recrawl": q_crawl_recrawl,  # renamed from crawl_round (superset run)
         "text_bpe": q_text_bpe,
         # -- r4 additions ---------------------------------------------------
@@ -1588,8 +1730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rank_pack": q_w_rank_pack,
         "sql_api_q5": q_sql_api_q5,
         "graph_components": q_graph_components,
-        "a_percentiles": q_a_percentiles,
-        "a_rollup": q_a_rollup,
         "dedup_exact": q_dedup_exact,
         "sample_deterministic": q_sample_deterministic,
         "corpus_filter": q_corpus_filter,
@@ -1846,16 +1986,17 @@ def _oracle_sql_static() -> dict[str, str]:
                    min(ts) AS session_start, round(sum(value), 4) AS session_value
             FROM s GROUP BY user_id, session_id
         """,
-        "a_percentiles": """
-            SELECT o_orderpriority,
-                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        "a_stats": """
+            SELECT 'percentile' AS kind, o_orderpriority AS key1,
+                   CAST(NULL AS VARCHAR) AS key2,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS v1,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS v2,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority
-        """,
-        "a_rollup": """
-            SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
-                   count(*) AS n_orders
+            UNION ALL
+            SELECT 'rollup' AS kind, r_name AS key1, n_name AS key2,
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS v1,
+                   CAST(NULL AS DOUBLE) AS v2, count(*) AS n
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -1890,22 +2031,6 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM dg d JOIN bg b USING (gram)
             GROUP BY d.doc_id, b.bench_id
             HAVING count(*) >= 1
-        """,
-        "pack_sequences": f"""
-            WITH t AS (
-              SELECT source, doc_id,
-                     len(list_filter({_TOK}, t -> t <> '')) AS n_tokens
-              FROM documents),
-            c AS (
-              SELECT source, doc_id, n_tokens,
-                     coalesce(sum(n_tokens) OVER (
-                       PARTITION BY source ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-              FROM t)
-            SELECT source, doc_id, n_tokens,
-                   CAST(pre // 256 AS BIGINT) AS bin_id,
-                   CAST(pre % 256 AS INT) AS bin_offset
-            FROM c
         """,
         "corpus_mix": """
             WITH rates AS (

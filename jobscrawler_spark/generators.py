@@ -192,6 +192,58 @@ def gen_images(n: int = 512, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_curation_images(n: int = 160, seed: int = 42) -> pd.DataFrame:
+    """Images table variant for the curation operators: same columns as
+    gen_images but with every curation defect class present — tiny,
+    extreme-aspect, flat (zero entropy/contrast), and near-flat
+    low-contrast images interleaved with normal fetch-model payloads, so
+    each verdict column of curate_images exercises both branches."""
+    rows = []
+    for i in range(n):
+        kind = i % 10
+        if kind < 6:  # normal crawl payload (varied size/fmt/caption)
+            url = f"http://cur{seed}.example.com/i/{i}"
+            data, w, h, fmt, caption, ph = fetch_payload(url)
+            image_id = canonicalize_py(url)
+        else:
+            d = url_digest(f"curation:{seed}:{i}")
+            if kind < 7:  # tiny
+                w, h = 16 + d % 33, 16 + (d >> 8) % 33
+                img = codecs.synth_pixels(d, int(w), int(h))
+            elif kind < 8:  # extreme aspect (banner / skyscraper)
+                if d % 2 == 0:
+                    w, h = 192 + d % 64, 24 + (d >> 8) % 16
+                else:
+                    w, h = 24 + d % 16, 192 + (d >> 8) % 64
+                img = codecs.synth_pixels(d, int(w), int(h))
+            elif kind < 9:  # flat: one constant value, entropy 0
+                w, h = 64 + d % 64, 64 + (d >> 8) % 64
+                img = np.full((int(h), int(w), 3), 40 + d % 176, dtype=np.uint8)
+            else:  # near-flat: faint gradient, low contrast
+                w, h = 64 + d % 64, 64 + (d >> 8) % 64
+                base = np.full((int(h), int(w), 3), 40 + d % 176, dtype=np.float64)
+                base += np.linspace(0, 4, int(w))[None, :, None]
+                img = np.clip(np.rint(base), 0, 255).astype(np.uint8)
+            w, h = img.shape[1], img.shape[0]
+            fmt = "png" if d % 2 == 0 else "raw"
+            data = codecs.encode(img, fmt)
+            ph = codecs.phash(img)
+            caption = f"synthetic curation fixture {i} class {kind}"
+            image_id = f"http://cur{seed}.example.com/s/{i}"
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": int(w),
+                "h": int(h),
+                "fmt": fmt,
+                "caption": caption,
+                "phash": int(ph),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def gen_videos(n: int = 12, seed: int = 42) -> pd.DataFrame:
     """Deterministic vraw clips (engine's own container) for the
     frame-sampling op: (video_id, bytes, fmt)."""

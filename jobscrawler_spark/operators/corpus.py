@@ -156,20 +156,93 @@ def pack_sequences(
         counted = docs.select(F.col(group_col), F.col(id_col), n_tok.alias("n_tokens"))
     else:
         raise ValueError(f"unknown token_counter {token_counter!r}")
+    return _pack_by_budget(counted, budget, group_col, id_col, "n_tokens")
+
+
+def _pack_by_budget(
+    counted: DataFrame, budget: int, group_col: str, id_col: str, count_col: str
+) -> DataFrame:
+    """The shared packing core: deterministic (group, id) layout,
+    cumulative counts, bin = preceding DIV budget — ONE shuffle (the
+    window partition on ``group_col``), bigint bins (ADVICE r4)."""
     w = Window.partitionBy(group_col).orderBy(id_col)
     preceding = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        F.sum(count_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return (
         counted.withColumn("__pre", preceding)
         .select(
             group_col,
             id_col,
-            "n_tokens",
+            count_col,
             F.expr(f"CAST(__pre DIV {int(budget)} AS BIGINT)").alias("bin_id"),
             F.pmod(F.col("__pre"), F.lit(budget)).cast("int").alias("bin_offset"),
         )
     )
+
+
+# aspect classes (w:h ascending) with midpoint thresholds as EXACT
+# rationals: bucket decisions are integer cross-multiplications, so
+# Spark, DuckDB, and any reimplementation agree bit-for-bit — a
+# log2-based bucketing would hang class membership on the last ulp of a
+# transcendental that differs between java Math.log and libm.
+ASPECT_BUCKETS = ["r1x2", "r9x16", "r3x4", "r1x1", "r4x3", "r16x9", "r2x1"]
+# threshold between bucket i and i+1: w/h < p/q  <=>  w*q < p*h
+_ASPECT_THRESHOLDS = [(17, 32), (21, 32), (7, 8), (7, 6), (14, 9), (17, 9)]
+
+
+def aspect_bucket_col(w_col: Column, h_col: Column) -> Column:
+    """Nearest aspect class of ``w_col``/``h_col`` (SDXL-style bucketing:
+    mixed-aspect corpora batch per shape class so tensors stack without
+    destructive square-cropping). Pure integer arithmetic."""
+    expr: Column | None = None
+    for name, (p, q) in zip(ASPECT_BUCKETS, _ASPECT_THRESHOLDS):
+        cond = w_col * q < p * h_col
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(ASPECT_BUCKETS[-1])
+
+
+def pack_image_batches(
+    images: DataFrame,
+    pixel_budget: int,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    shard_hex_chars: int = 0,
+) -> DataFrame:
+    """Image-training batch layout: bucket every image by nearest aspect
+    class, then pack each bucket into fixed PIXEL-budget bins — the image
+    counterpart of :func:`pack_sequences` (a training step's memory cost
+    is pixels, not rows, so bins equalize w*h mass; batching within an
+    aspect class is what lets variable-shape corpora stack into tensors
+    without square-cropping).
+
+    Returns (aspect_bucket, image_id, n_px, bin_id, bin_offset). Same
+    scale shape as pack_sequences: metadata-only (no decode), one
+    shuffle — the window partition on the group key. The bare aspect
+    class has only 7 values, which would serialize 10^10 images onto 7
+    window partitions, so ``shard_hex_chars`` appends an md5-prefix shard
+    to the key (16x parallelism per char; bins stay valid training
+    batches because packing only ever needs to be sequential WITHIN a
+    group, exactly like pack_sequences' per-source independence). md5,
+    not xxhash: both engines spell it identically, same reasoning as
+    weighted_mix's threshold compare.
+    """
+    group = aspect_bucket_col(F.col(w_col), F.col(h_col))
+    if shard_hex_chars > 0:
+        group = F.concat(
+            group,
+            F.lit("|"),
+            F.substring(
+                F.md5(F.concat(F.lit("pack|"), F.col(id_col))), 1, shard_hex_chars
+            ),
+        )
+    counted = images.select(
+        group.alias("aspect_bucket"),
+        F.col(id_col),
+        (F.col(w_col).cast("long") * F.col(h_col).cast("long")).cast("int").alias("n_px"),
+    )
+    return _pack_by_budget(counted, pixel_budget, "aspect_bucket", id_col, "n_px")
 
 
 def mix_threshold_hex(rate: float) -> str:

@@ -1,0 +1,202 @@
+"""Image curation for training-data assembly: quality stats + image-text
+alignment filtering over the images table (BASELINE.json input_hint shape).
+
+The LAION/DataComp-style curation pass a 100 TB image+caption corpus runs
+between crawl and training — the image-payload counterpart of the text
+quality family (functions/text.py). The reference has no image pipeline at
+all (its corpus is the jobs table, reference: src/crawler.py:172-244);
+these are north-rule training-data extensions over the payload the graft
+mandates.
+
+Two stages, composed by :func:`curate_images`:
+
+- **profile** (:func:`image_profile`): decode ``bytes`` per ``fmt`` and
+  compute per-image statistics — luma mean/std (contrast), 256-bin
+  Shannon entropy (flat/synthetic detector), aspect ratio — plus a
+  deterministic pooled-luma embedding (grid area-pool of the luma plane,
+  mean-centered, components rounded to 6dp so the downstream cosine is
+  bit-identical across engines). One mapInPandas pass, Arrow-batched:
+  pixel work is the mandated slow path, everything after it is Catalyst.
+- **alignment + verdicts** (inside :func:`curate_images`): caption
+  embedding via the pure-Catalyst hash embedder
+  (embeddings_pipeline.synth_embedding — the model stand-in this sandbox
+  uses everywhere; a real deployment swaps a CLIP text/image tower into
+  the same two columns, exactly like the e5 swap point documented in
+  functions/bpe.py), cosine via F.zip_with + F.aggregate (JVM-side,
+  array-order summation), score scaled to an integer
+  (``align_e6 = floor(cos * 1e6 + 0.5)``) so no float formatting crosses
+  engines, then the curation verdicts as integer/boolean compares.
+
+Scale shape (SCALING.md "Training-data operators at 100 TB"): the entire
+curation pass is MAP-SIDE — caption and pixels live on the same row, so
+alignment needs no join, and every verdict is a per-row expression. Zero
+shuffles at any corpus size; decode cost is the floor and it
+embarrassingly parallelizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..embeddings_pipeline import synth_embedding
+from ..functions import codecs
+
+POOL_GRID = 4  # pooled-luma embedding is POOL_GRID^2 components
+DEFAULTS = {
+    "min_side": 64,
+    "min_aspect": 0.5,
+    "max_aspect": 2.0,
+    "min_entropy": 3.0,
+    "min_contrast": 10.0,
+    "align_threshold": 0.0,
+}
+
+PROFILE_SCHEMA = (
+    "image_id string, w int, h int, aspect double, luma_mean double, "
+    "luma_std double, entropy double, img_vec array<double>"
+)
+
+
+def _luma_stats(img: np.ndarray) -> tuple[np.ndarray, float, float, float]:
+    """(luma plane, mean, std, entropy) for one decoded HxWx3 uint8 image."""
+    luma = img.astype(np.float64).mean(axis=2)
+    mean = float(luma.mean())
+    std = float(luma.std())
+    counts = np.bincount(
+        np.clip(np.rint(luma), 0, 255).astype(np.int64).ravel(), minlength=256
+    )
+    p = counts[counts > 0] / luma.size
+    # + 0.0 canonicalizes IEEE -0.0 (a flat image yields -(1*log2(1)))
+    # so the oracle compare never sees '-0' vs '0'
+    entropy = float(-(p * np.log2(p)).sum()) + 0.0
+    return luma, mean, std, entropy
+
+
+def _pool_embed(luma: np.ndarray, grid: int = POOL_GRID) -> list[float]:
+    """grid x grid area-pooled luma, mean-centered, rounded to 6dp.
+
+    Rounding is part of the CONTRACT: the cosine downstream sums in array
+    order over these exact doubles in both Spark (zip_with/aggregate) and
+    the sequential oracle, so the integer-scaled score is bit-identical.
+    """
+    h, w = luma.shape
+    yi = (np.arange(h) * grid // h).astype(np.int64)
+    xi = (np.arange(w) * grid // w).astype(np.int64)
+    acc = np.zeros((grid, grid))
+    cnt = np.zeros((grid, grid))
+    np.add.at(acc, (yi[:, None], xi[None, :]), luma)
+    np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+    vec = (acc / np.maximum(cnt, 1.0)).ravel()
+    vec = vec - vec.mean()
+    return [float(x) for x in np.round(vec, 6)]
+
+
+def image_profile(images: DataFrame, grid: int = POOL_GRID) -> DataFrame:
+    """Decode + per-image stats + pooled-luma embedding (one Arrow pass)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                img = codecs.decode(bytes(r.bytes), r.fmt)
+                luma, mean, std, entropy = _luma_stats(img)
+                h, w = img.shape[0], img.shape[1]
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": w,
+                        "h": h,
+                        "aspect": round(w / h, 4),
+                        "luma_mean": round(mean, 4),
+                        "luma_std": round(std, 4),
+                        "entropy": round(entropy, 4),
+                        "img_vec": _pool_embed(luma, grid),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=PROFILE_SCHEMA)
+
+
+def _cosine_e6(a, b):
+    """floor(cos(a, b) * 1e6 + 0.5) as bigint — array-order summation in
+    the JVM; the sequential oracle mirrors the exact operation order."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    cos = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    return F.floor(cos * 1e6 + F.lit(0.5)).cast("long")
+
+
+def curate_images(images: DataFrame, **thresholds) -> DataFrame:
+    """Per-image curation verdicts: profile stats + caption-alignment score.
+
+    Input needs (image_id, bytes, fmt, caption). Output: one row per image
+    with stats, ``align_e6``, and boolean verdicts; ``keep`` is the
+    conjunction downstream corpus builds filter on.
+
+    MAP-SIDE ONLY: caption and pixels live on the same input row, so the
+    caption is passed THROUGH the profile UDF (no join-back on image_id —
+    a 10^10-row self-join would be a gratuitous co-partitioned shuffle),
+    the caption embedding is pure Catalyst (synth_embedding), and the
+    cosine + verdicts are per-row expressions. Zero shuffles.
+    """
+    t = {**DEFAULTS, **thresholds}
+    thr_e6 = int(t["align_threshold"] * 1_000_000)
+    dim = POOL_GRID * POOL_GRID
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                img = codecs.decode(bytes(r.bytes), r.fmt)
+                luma, mean, std, entropy = _luma_stats(img)
+                h, w = img.shape[0], img.shape[1]
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "caption": r.caption,
+                        "w": w,
+                        "h": h,
+                        "aspect": round(w / h, 4),
+                        "luma_mean": round(mean, 4),
+                        "luma_std": round(std, 4),
+                        "entropy": round(entropy, 4),
+                        "img_vec": _pool_embed(luma),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    prof = images.mapInPandas(
+        run, schema=PROFILE_SCHEMA.replace("image_id string", "image_id string, caption string")
+    )
+    cap_vec = synth_embedding(F.col("caption"), dim=dim)
+    return (
+        prof.withColumn("align_e6", _cosine_e6(F.col("img_vec"), cap_vec))
+        .withColumn("too_small", (F.col("w") < t["min_side"]) | (F.col("h") < t["min_side"]))
+        .withColumn(
+            "bad_aspect",
+            (F.col("aspect") < t["min_aspect"]) | (F.col("aspect") > t["max_aspect"]),
+        )
+        .withColumn("low_entropy", F.col("entropy") < t["min_entropy"])
+        .withColumn("low_contrast", F.col("luma_std") < t["min_contrast"])
+        .withColumn("misaligned", F.col("align_e6") < F.lit(thr_e6))
+        .withColumn(
+            "keep",
+            ~(
+                F.col("too_small")
+                | F.col("bad_aspect")
+                | F.col("low_entropy")
+                | F.col("low_contrast")
+                | F.col("misaligned")
+            ),
+        )
+        .drop("img_vec", "caption")
+    )
+
+

@@ -85,6 +85,115 @@ def crawl_recrawl_rows() -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# image_curation: quality stats + alignment verdicts, sequential recompute
+# ---------------------------------------------------------------------------
+
+
+def curate_images_py(rows, **thresholds) -> list[dict]:
+    """Sequential fresh-arithmetic recompute of image_curation.curate_images
+    — NOT the operator's numpy path: math.fsum accumulation for luma
+    mean/std and pooling (vs numpy pairwise/add.at), math.log2 per bin for
+    entropy (vs vectorized np.log2), explicit left-to-right loops for the
+    cosine (mirroring the JVM aggregate order), and the Python xxhash port
+    for the caption embedding. Rounding points (4dp stats, 6dp embedding
+    components, integer-scaled score) are the operator's published
+    contract, so last-ulp summation differences cannot cross engines."""
+    import math
+
+    import numpy as np
+
+    from ..functions import codecs
+    from ..embeddings_pipeline import synth_embedding_py
+    from ..operators.image_curation import DEFAULTS, POOL_GRID
+
+    t = {**DEFAULTS, **thresholds}
+    thr_e6 = int(t["align_threshold"] * 1_000_000)
+    dim = POOL_GRID * POOL_GRID
+    out = []
+    for r in rows:
+        img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+        h, w = img.shape[0], img.shape[1]
+        luma = (
+            img[:, :, 0].astype(np.float64)
+            + img[:, :, 1].astype(np.float64)
+            + img[:, :, 2].astype(np.float64)
+        ) / 3.0
+        flat = luma.ravel()
+        mean = math.fsum(flat) / flat.size
+        std = math.sqrt(math.fsum((x - mean) ** 2 for x in flat) / flat.size)
+        counts = np.bincount(
+            np.clip(np.rint(luma), 0, 255).astype(np.int64).ravel(), minlength=256
+        )
+        entropy = -math.fsum(
+            (c / flat.size) * math.log2(c / flat.size) for c in counts if c > 0
+        ) + 0.0  # canonicalize -0.0 (flat image), mirroring _luma_stats
+        # grid pooling: yi = y*grid//h is monotone, so each cell is a
+        # contiguous block — fsum per block, independent of np.add.at
+        ys = [0] + [min(y for y in range(h) if y * POOL_GRID // h == g) for g in range(1, POOL_GRID)] + [h]
+        xs = [0] + [min(x for x in range(w) if x * POOL_GRID // w == g) for g in range(1, POOL_GRID)] + [w]
+        vec = []
+        for gy in range(POOL_GRID):
+            for gx in range(POOL_GRID):
+                cell = luma[ys[gy] : ys[gy + 1], xs[gx] : xs[gx + 1]].ravel()
+                vec.append(math.fsum(cell) / cell.size)
+        center = math.fsum(vec) / len(vec)
+        vec = [float(np.round(v - center, 6)) for v in vec]
+        cap = synth_embedding_py(r["caption"], dim=dim)
+        dot = na = nb = 0.0
+        for x, y in zip(vec, cap):
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        cos = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        rec = {
+            "image_id": r["image_id"],
+            "w": w,
+            "h": h,
+            "aspect": round(w / h, 4),
+            "luma_mean": round(mean, 4),
+            "luma_std": round(std, 4),
+            "entropy": round(entropy, 4),
+            "align_e6": int(math.floor(cos * 1e6 + 0.5)),
+        }
+        rec["too_small"] = w < t["min_side"] or h < t["min_side"]
+        rec["bad_aspect"] = rec["aspect"] < t["min_aspect"] or rec["aspect"] > t["max_aspect"]
+        rec["low_entropy"] = rec["entropy"] < t["min_entropy"]
+        rec["low_contrast"] = rec["luma_std"] < t["min_contrast"]
+        rec["misaligned"] = rec["align_e6"] < thr_e6
+        rec["keep"] = not (
+            rec["too_small"]
+            or rec["bad_aspect"]
+            or rec["low_entropy"]
+            or rec["low_contrast"]
+            or rec["misaligned"]
+        )
+        out.append(rec)
+    return out
+
+
+def image_curation_rows(n: int = 160, seed: int = 42) -> list[tuple]:
+    """(image_id, w, h, aspect, luma_mean, luma_std, entropy, align_e6,
+    too_small, bad_aspect, low_entropy, low_contrast, misaligned, keep)
+    for q_image_curation's gen_curation_images fixture, via
+    :func:`curate_images_py` (min_side=24 like the gate)."""
+    from ..generators import gen_curation_images
+
+    rows = curate_images_py(
+        gen_curation_images(n, seed=seed).to_dict("records"), min_side=24
+    )
+    return [
+        (
+            r["image_id"], r["w"], r["h"], r["aspect"], r["luma_mean"],
+            r["luma_std"], r["entropy"], r["align_e6"], r["too_small"],
+            r["bad_aspect"], r["low_entropy"], r["low_contrast"],
+            r["misaligned"], r["keep"],
+        )
+        for r in rows
+    ]
+
+
+# ---------------------------------------------------------------------------
 # extract_verify: per-image invariant verdicts, sequential numpy
 # ---------------------------------------------------------------------------
 

@@ -8,9 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from jobscrawler_spark.operators.corpus import (
+    ASPECT_BUCKETS,
     HEX_SPAN,
     decontaminate_ngram,
     mix_threshold_hex,
+    pack_image_batches,
     pack_sequences,
     weighted_mix,
 )
@@ -139,6 +141,74 @@ def test_weighted_mix_is_a_stable_subset(spark):
         survivors[rate] = {r["doc_id"] for r in weighted_mix(docs, rates).collect()}
     assert survivors[0.2] <= survivors[0.6]
     assert len(survivors[0.2]) < len(survivors[0.6])
+
+
+# --- image batch packing (r5) ----------------------------------------------
+
+
+def _imgs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "w", "h"])
+    )
+
+
+def test_aspect_buckets_match_float_nearest_class(spark):
+    """The integer cross-multiplication bucketing must agree with the
+    straightforward float nearest-ratio assignment (boundaries = the
+    arithmetic midpoints the thresholds encode) on a sweep of shapes —
+    the integer form exists so DuckDB and Spark cannot disagree on a
+    float's last ulp, not to change the classes."""
+    ratios = [0.5, 9 / 16, 0.75, 1.0, 4 / 3, 16 / 9, 2.0]
+    shapes = [(w, h) for w in range(8, 80, 7) for h in range(8, 80, 9)]
+    df = _imgs(spark, [(f"i{w}x{h}", w, h) for w, h in shapes])
+    got = {
+        r["image_id"]: r["aspect_bucket"]
+        for r in pack_image_batches(df, pixel_budget=1 << 20).collect()
+    }
+    for w, h in shapes:
+        r = min(max(w / h, 0.5), 2.0)  # extremes clamp into the end classes
+        want = ASPECT_BUCKETS[min(range(7), key=lambda i: abs(r - ratios[i]))]
+        assert got[f"i{w}x{h}"] == want, (w, h, got[f"i{w}x{h}"], want)
+
+
+def test_pack_image_batches_handcrafted(spark):
+    # all square -> one bucket; pixel counts 64, 256, 1024 in id order
+    df = _imgs(spark, [("a", 8, 8), ("b", 16, 16), ("c", 32, 32)])
+    out = {
+        r["image_id"]: (r["n_px"], r["bin_id"], r["bin_offset"])
+        for r in pack_image_batches(df, pixel_budget=300).collect()
+    }
+    assert out["a"] == (64, 0, 0)
+    assert out["b"] == (256, 0, 64)   # spills into bin 1
+    assert out["c"] == (1024, 1, 20)  # preceding 320 -> bin 1 offset 20
+
+
+def test_pack_image_batches_sharding_splits_groups(spark):
+    rows = [(f"img{i:03d}", 8 + i % 17, 8 + (i * 7) % 17) for i in range(200)]
+    flat = pack_image_batches(_imgs(spark, rows), pixel_budget=1024)
+    sharded = pack_image_batches(
+        _imgs(spark, rows), pixel_budget=1024, shard_hex_chars=1
+    )
+    n_flat = flat.select("aspect_bucket").distinct().count()
+    n_sharded = sharded.select("aspect_bucket").distinct().count()
+    assert n_flat <= 7
+    assert n_sharded > n_flat  # the md5 shard actually widens the key space
+    # sharding re-groups but never changes an item's pixel count
+    a = {r["image_id"]: r["n_px"] for r in flat.collect()}
+    b = {r["image_id"]: r["n_px"] for r in sharded.collect()}
+    assert a == b
+
+
+def test_pack_image_batches_deterministic_across_partitionings(spark):
+    rows = [(f"img{i:03d}", 8 + i % 29, 8 + (i * 11) % 29) for i in range(120)]
+    a = pack_image_batches(_imgs(spark, rows), pixel_budget=2048, shard_hex_chars=1)
+    b = pack_image_batches(
+        _imgs(spark, rows).repartition(13), pixel_budget=2048, shard_hex_chars=1
+    )
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, a.collect()), key=key) == sorted(
+        map(tuple, b.collect()), key=key
+    )
 
 
 # --- property tests (hypothesis) -------------------------------------------

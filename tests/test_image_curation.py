@@ -1,0 +1,82 @@
+"""Image curation operators: quality stats + image-text alignment.
+
+Distributed output must equal the sequential fresh-arithmetic recompute
+(curate_images_py — the oracle side of the image_curation gate), every
+verdict class must actually fire on the fixture, and the whole pass must
+be shuffle-free (its 100-TB claim)."""
+
+import numpy as np
+import pytest
+
+from jobscrawler_spark.generators import gen_curation_images
+from jobscrawler_spark.operators.image_curation import curate_images
+from jobscrawler_spark.oracle.expected import curate_images_py
+from jobscrawler_spark.schemas import IMAGES
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return gen_curation_images(120, seed=42)
+
+
+# min_side=24 everywhere the fixture is scored: the fetch model produces
+# thumbnail-scale payloads (8-64 px), so the production default of 64
+# would flag every normal image (same choice as the image_curation gate)
+THRESHOLDS = {"min_side": 24}
+
+
+@pytest.fixture(scope="module")
+def spark_rows(spark, fixture_pdf):
+    df = spark.createDataFrame(fixture_pdf, IMAGES)
+    out = curate_images(df.repartition(8), **THRESHOLDS)
+    return sorted((r.asDict() for r in out.collect()), key=lambda r: r["image_id"])
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(fixture_pdf):
+    return sorted(
+        curate_images_py(fixture_pdf.to_dict("records"), **THRESHOLDS),
+        key=lambda r: r["image_id"],
+    )
+
+
+def test_curate_matches_sequential(spark_rows, oracle_rows):
+    assert len(spark_rows) == len(oracle_rows) == 120
+    for s, o in zip(spark_rows, oracle_rows):
+        assert s == o, (s, o)
+
+
+def test_every_verdict_class_fires(oracle_rows):
+    for col in ("too_small", "bad_aspect", "low_entropy", "low_contrast", "misaligned", "keep"):
+        vals = {r[col] for r in oracle_rows}
+        assert vals == {True, False}, f"{col} never exercised both branches: {vals}"
+
+
+def test_flat_images_flagged(fixture_pdf, oracle_rows):
+    by_id = {r["image_id"]: r for r in oracle_rows}
+    flat_ids = [
+        r.image_id for r in fixture_pdf.itertuples() if r.image_id.count("/s/") and int(r.image_id.rsplit("/", 1)[1]) % 10 == 8
+    ]
+    assert flat_ids
+    for iid in flat_ids:
+        r = by_id[iid]
+        assert r["entropy"] == 0.0 and r["low_entropy"]
+        assert r["luma_std"] == 0.0 and r["low_contrast"]
+        assert not r["keep"]
+
+
+def test_curation_is_shuffle_free(spark, fixture_pdf):
+    df = spark.createDataFrame(fixture_pdf.head(10), IMAGES)
+    plan = curate_images(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_alignment_threshold_is_integer_compare(fixture_pdf, oracle_rows):
+    # re-run the sequential side with a shifted threshold: the flag must
+    # move exactly at the integer boundary, independent of float repr
+    shifted = curate_images_py(
+        fixture_pdf.to_dict("records"), align_threshold=0.25, **THRESHOLDS
+    )
+    for base, sh in zip(oracle_rows, sorted(shifted, key=lambda r: r["image_id"])):
+        assert sh["misaligned"] == (sh["align_e6"] < 250000)
+        assert base["align_e6"] == sh["align_e6"]
