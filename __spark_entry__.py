@@ -1429,13 +1429,45 @@ def q_multimodal_pipeline(spark, sf):
     return spark.createDataFrame(out.collect(), out.schema)
 
 
-def q_text_features(spark, sf):
-    """Per-doc quality features + language-ID in ONE gate (merged r4 for
-    the 50-entry window) — both map-side column-expression families over
-    the same rows."""
+SPAN_BOILERPLATE = (
+    "bp00 bp01 bp02 bp03 bp04 bp05 bp06 bp07 bp08 bp09 bp10 bp11"
+)
+
+
+def q_dedup_repeated_spans(spark, sf):
+    """Substring-level exact dedup (NEW r5): mask runs of >= 8 tokens
+    whose k-grams occur in >= 2 distinct documents — the bounded
+    Spark-expressible form of suffix-array substring dedup
+    (operators/dedupe.py:mask_repeated_spans). The query PLANTS a
+    12-token boilerplate on every doc_id % 7 == 0 (the corpus has few
+    natural >= 8-token cross-doc runs — same planting pattern as
+    text_redact), identically in both engines; the operator must mask
+    exactly the planted span union whatever else the corpus shares."""
+    from jobscrawler_spark.operators.dedupe import mask_repeated_spans
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_BOILERPLATE)),
+        ).otherwise(F.col("text")),
+    )
+    return mask_repeated_spans(planted, k=8, min_df=2)
+
+
+def q_text_profile(spark, sf):
+    """Per-doc text profile in ONE gate (r5 merge of text_features +
+    text_signatures, freeing a slot for dedup_repeated_spans): quality
+    features + language-ID for every doc, LEFT-joined with the sketch
+    signatures (SimHash-16 + winnowing fingerprint, computed for
+    doc_id < 200 with non-null fingerprints, exactly as the retired
+    text_signatures gate did) — all map-side column families over the
+    same rows; the join exists only to align the two outputs in one
+    schema."""
     d = _t(spark, sf, "documents")
     t = F.col("text")
-    return d.select(
+    feats = d.select(
         "doc_id",
         T.token_count(t).alias("n_tokens"),
         T.subtoken_count(t).alias("n_subtokens"),
@@ -1444,6 +1476,13 @@ def q_text_features(spark, sf):
         T.quality_score(t).alias("quality"),
         T.lang_id(t).alias("pred_lang"),
     )
+    ds = d.filter(F.col("doc_id") < 200)
+    sh = D.simhash16(ds)
+    fp = ds.select("doc_id", T.fingerprint(F.col("text"), k=5).alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    sigs = sh.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")
+    return feats.join(sigs, "doc_id", "left")
 
 
 def q_text_repetition(spark, sf):
@@ -1499,18 +1538,6 @@ def q_dedup_paragraphs(spark, sf):
         ).alias("text"),
     )
     return D.paragraph_dup_stats(withboiler)
-
-
-def q_text_signatures(spark, sf):
-    """Per-doc sketch signatures in ONE gate (merged r4 for the 50-entry
-    window): 16-bit SimHash + min-k-gram winnowing fingerprint — both
-    map-side per-document signature operators over the same rows."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    sh = D.simhash16(d)
-    fp = d.select("doc_id", T.fingerprint(F.col("text"), k=5).alias("fingerprint")).filter(
-        F.col("fingerprint").isNotNull()
-    )
-    return sh.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")
 
 
 # --- non-SQL-expressible (verified vs oracle simulator in pytest) -----------
@@ -1688,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     battle-tested TPC-H-shape gates are the ones that would overflow."""
     return {
         # -- r5 additions ---------------------------------------------------
+        "dedup_repeated_spans": q_dedup_repeated_spans,
+        "text_profile": q_text_profile,  # text_features + text_signatures merged
         "image_curation": q_image_curation,
         "a_stats": q_a_stats,  # a_percentiles + a_rollup merged (slot freed)
         "crawl_recrawl": q_crawl_recrawl,  # renamed from crawl_round (superset run)
@@ -1739,8 +1768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_shuffle_join": q_j_shuffle_join,
         "ann_topk": q_ann_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "text_features": q_text_features,
-        "text_signatures": q_text_signatures,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
 
@@ -2089,8 +2116,10 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
             WHERE a.doc_id < b.doc_id
         """,
-        "text_signatures": f"""
-            WITH toks AS (
+        "text_profile": f"""
+            WITH feats AS ({_TF_SQL}),
+            langs AS ({_LANG_SQL}),
+            toks AS (
               SELECT DISTINCT doc_id, unnest({_TOK}) AS token
               FROM documents WHERE doc_id < 200),
             bits AS (
@@ -2115,9 +2144,13 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM (SELECT doc_id,
                            unnest(list_zip(l, l[2:], l[3:], l[4:], l[5:])) AS z FROM ltoks)
               WHERE z[5] IS NOT NULL),
-            fp AS (SELECT doc_id, min(h) AS fingerprint FROM grams GROUP BY doc_id)
-            SELECT sh.doc_id, sh.simhash, fp.fingerprint
-            FROM sh JOIN fp ON sh.doc_id = fp.doc_id
+            fp AS (SELECT doc_id, min(h) AS fingerprint FROM grams GROUP BY doc_id),
+            sig AS (
+              SELECT sh.doc_id, sh.simhash, fp.fingerprint
+              FROM sh JOIN fp ON sh.doc_id = fp.doc_id)
+            SELECT f.*, l.pred_lang, s.simhash, s.fingerprint
+            FROM feats f JOIN langs l ON f.doc_id = l.doc_id
+            LEFT JOIN sig s ON f.doc_id = s.doc_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 120),
@@ -2267,11 +2300,58 @@ def _oracle_sql_static() -> dict[str, str]:
                                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM bsims) WHERE rank <= 5
         """,
-        "text_features": f"""
-            WITH feats AS ({_TF_SQL}),
-            langs AS ({_LANG_SQL})
-            SELECT f.*, l.pred_lang
-            FROM feats f JOIN langs l ON f.doc_id = l.doc_id
+        "dedup_repeated_spans": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' {SPAN_BOILERPLATE}' ELSE text END AS text
+              FROM documents),
+            t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> '') AS l
+                  FROM d),
+            pos AS (
+              SELECT doc_id, gs - 1 AS pos,
+                     md5(array_to_string(l[gs : gs + 7], ' ')) AS gram
+              FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS gs
+                    FROM t WHERE len(l) >= 8)),
+            dup AS (SELECT gram FROM pos GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            dp AS (SELECT doc_id, pos FROM pos JOIN dup USING (gram)),
+            fl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS nf
+              FROM dp),
+            fl2 AS (SELECT doc_id, pos,
+                           sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+                    FROM fl),
+            sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 8 AS e
+                   FROM fl2 GROUP BY doc_id, span),
+            spl AS (SELECT doc_id,
+                           flatten(list_transform(list_sort(list({{'s': s, 'e': e}})),
+                                                  x -> generate_series(CAST(x.s AS BIGINT),
+                                                                       CAST(x.e AS BIGINT) - 1))) AS masked,
+                           count(*) AS n_spans
+                    FROM sp GROUP BY doc_id),
+            j AS (SELECT t.doc_id, l,
+                         coalesce(masked, CAST([] AS BIGINT[])) AS masked,
+                         coalesce(n_spans, 0) AS n_spans
+                  FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id),
+            kept AS (
+              SELECT doc_id, l, masked, n_spans,
+                     list_filter(l, (x, i) -> NOT list_contains(masked, i - 1)) AS kl
+              FROM j)
+            SELECT doc_id,
+                   CAST(len(l) AS INT) AS n_tokens,
+                   CAST(n_spans AS INT) AS n_spans,
+                   CAST(len(l) - len(kl) AS INT) AS n_masked,
+                   round(CASE WHEN len(l) > 0
+                              THEN CAST(len(l) - len(kl) AS DOUBLE) / len(l)
+                              ELSE 0.0 END, 6) AS masked_frac,
+                   coalesce(array_to_string(kl, ' '), '') AS clean_text
+            FROM kept
         """,
         "text_redact": r"""
             WITH planted AS (

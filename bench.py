@@ -111,8 +111,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "j_shuffle_join",
     "ann_topk",
-    "text_features",
-    "text_signatures",
+    "text_profile",  # text_features + text_signatures merged r5
     "text_repetition",
     "text_redact",
     "dedup_paragraphs",
@@ -121,6 +120,8 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "pack_sequences",
     "corpus_mix",
+    "image_curation",
+    "dedup_repeated_spans",
 ]
 
 

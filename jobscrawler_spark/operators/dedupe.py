@@ -24,7 +24,7 @@ bucket, not quadratic in corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -287,4 +287,95 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def mask_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact dedup, bounded to ``k``-token runs: mask every
+    token covered by a ``k``-gram that occurs in >= ``min_df`` DISTINCT
+    documents — the Spark-expressible form of suffix-array substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a span shared by >= min_df docs is exactly a
+    run of cross-doc-duplicated k-grams, and masking their union of
+    [pos, pos+k) windows removes it from every copy.
+
+    Returns (doc_id, n_tokens, n_spans, n_masked, masked_frac,
+    clean_text): overlapping/adjacent duplicated windows are merged into
+    maximal spans per document and the surviving tokens are rejoined.
+
+    Plan (10^10 docs): four shuffles, every key uniform —
+    1. positions -> groupBy(gram md5) counting DISTINCT doc_id (a partial
+       agg on (gram, doc_id) then gram; unlike the pair-enumerating ops
+       a boilerplate gram with df=10^7 costs ONE counter here, never a
+       fan-out, so no DF cap is needed),
+    2. positions join duplicated-gram set on the gram key (left-semi),
+    3. the per-doc interval-merge window (partition by doc_id),
+    4. the spans join back to docs on doc_id.
+    The position explode is ~n_tokens rows per doc — the inherent price
+    of substring-level dedup (the offline alternative is a distributed
+    suffix array); everything downstream of step 2 is O(duplicated
+    positions), which real corpora keep far below O(positions).
+    """
+    from ..functions.text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    cnt = F.size(F.col("__toks"))
+    idx = F.when(cnt >= k, F.sequence(F.lit(0), cnt - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    positions = base.select(
+        id_col,
+        F.explode(idx).alias("pos"),
+        F.col("__toks").alias("__t"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos") + 1, k), " ")).alias("gram"),
+    )
+    dup = (
+        positions.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("gram")
+    )
+    dup_pos = positions.join(dup, "gram", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup_pos.withColumn(
+        "__new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("__span", F.sum("__new").over(w))
+    spans = (
+        flagged.groupBy(id_col, "__span")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"))
+    )
+    joined = base.join(spans, id_col, "left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    )
+    kept = F.filter(
+        F.transform(F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__spans"), lambda sp: (s["i"] >= sp["s"]) & (s["i"] < sp["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size("__spans").alias("n_spans"),
+        (F.size("__toks") - F.size(kept)).alias("n_masked"),
+        F.round(
+            F.when(cnt > 0, (F.size("__toks") - F.size(kept)) / F.size("__toks")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("masked_frac"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
     )

@@ -87,3 +87,66 @@ def test_ann_recall_floors(spark, emb):
     assert rk >= r1 - 0.05
     assert r1 >= 0.4 and r2 >= 0.5 and rk >= 0.4
     assert rl >= 0.1
+
+
+# --- repeated-span masking (r5) ---------------------------------------------
+
+BOILER = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 ba bb"  # 12 shared tokens
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_mask_repeated_spans_handcrafted(spark):
+    """A 12-token block shared by two docs is masked in BOTH (merged into
+    one maximal span each); unshared docs and docs shorter than k pass
+    through untouched."""
+    docs = _span_docs(spark, [
+        (1, "u1 u2 u3 u4 " + BOILER + " t1 t2"),
+        (2, "v1 v2 " + BOILER + " v3 v4 v5"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa"),
+        (4, "short text"),
+    ])
+    out = {r["doc_id"]: r.asDict() for r in D.mask_repeated_spans(docs, k=8, min_df=2).collect()}
+    assert out[1]["clean_text"] == "u1 u2 u3 u4 t1 t2"
+    assert (out[1]["n_spans"], out[1]["n_masked"]) == (1, 12)
+    assert out[2]["clean_text"] == "v1 v2 v3 v4 v5"
+    assert out[2]["masked_frac"] == round(12 / 17, 6)
+    assert out[3] == dict(doc_id=3, n_tokens=10, n_spans=0, n_masked=0,
+                          masked_frac=0.0, clean_text="w1 w2 w3 w4 w5 w6 w7 w8 w9 wa")
+    assert out[4]["n_spans"] == 0 and out[4]["clean_text"] == "short text"
+
+
+def test_mask_repeated_spans_two_disjoint_spans(spark):
+    """Two separated shared blocks in one doc yield TWO spans (the
+    interval merge must not bridge the gap between them)."""
+    other = "c0 c1 c2 c3 c4 c5 c6 c7"  # 8 tokens, exactly one k-gram
+    docs = _span_docs(spark, [
+        (1, BOILER + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 " + other),
+        (2, "x1 x2 " + BOILER + " y1 y2"),
+        (3, "z1 " + other + " z2 z3"),
+    ])
+    out = {r["doc_id"]: r.asDict() for r in D.mask_repeated_spans(docs, k=8, min_df=2).collect()}
+    assert out[1]["n_spans"] == 2
+    assert out[1]["n_masked"] == 20
+    assert out[1]["clean_text"] == "gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9"
+
+
+def test_mask_repeated_spans_min_df_counts_distinct_docs(spark):
+    """A block repeated TWICE WITHIN one doc but never across docs does
+    not reach min_df=2 (document frequency counts distinct docs)."""
+    docs = _span_docs(spark, [
+        (1, BOILER + " mid1 mid2 " + BOILER),
+        (2, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+    ])
+    out = {r["doc_id"]: r.asDict() for r in D.mask_repeated_spans(docs, k=8, min_df=2).collect()}
+    assert out[1]["n_spans"] == 0 and out[1]["n_masked"] == 0
+
+
+def test_mask_repeated_spans_deterministic_across_partitionings(spark):
+    rows = [(i, " ".join(f"t{(i * 13 + j) % 40}" for j in range(30))) for i in range(40)]
+    df = _span_docs(spark, rows)
+    a = sorted(map(tuple, D.mask_repeated_spans(df, k=8).collect()))
+    b = sorted(map(tuple, D.mask_repeated_spans(df.repartition(11), k=8).collect()))
+    assert a == b

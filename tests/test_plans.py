@@ -214,8 +214,21 @@ def test_corpus_ops_plans(spark):
 
     p = _plan(E.q_pack_sequences(spark, SF))
     exchanges = [l for l in p.splitlines() if "hashpartitioning(" in l]
-    assert len(exchanges) == 1 and "source" in exchanges[0], exchanges
+    # kind-tagged union since r5: ONE window shuffle per branch — the text
+    # pack on source, the image pack on the (aspect class, md5 shard) key
+    assert len(exchanges) == 2, exchanges
+    assert any("source" in l for l in exchanges), exchanges
+    assert any("aspect_bucket" in l for l in exchanges), exchanges
 
     p = _plan(E.q_corpus_mix(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning(" not in p, p
+
+
+def test_repeated_spans_plan(spark):
+    """R5 substring dedup: every join is keyed (gram semi-join, doc_id
+    final join) — no cartesian/nested-loop anywhere, and the gram-DF agg
+    keeps a partial (map-side) aggregate before its shuffle."""
+    p = _plan(E.q_dedup_repeated_spans(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p, p
