@@ -374,28 +374,59 @@ def _p1_selector_oracle() -> str:
 
 
 def q_s_robots_parse(spark, sf):
-    """Robots.txt PARSER (robots discovery is the same fetch dataflow
-    pointed at /robots.txt): text bodies -> (host, path_prefix, allow)
-    rules via posexplode + forward-fill of the governing User-agent group.
-    Oracle: same bodies inlined as VALUES, same parse in DuckDB SQL."""
-    from jobscrawler_spark.generators import gen_robots_bodies
-    from jobscrawler_spark.operators.frontier import parse_robots_txt
+    """Crawl DISCOVERY parsing, kind-tagged (extended r5): 'rule' rows are
+    the original robots.txt parse (posexplode + User-agent group
+    stacking) — over bodies that now carry injected ``Sitemap:`` records
+    (top-of-file AND mid-file), which the rule parser must ignore without
+    breaking a group; 'ref' rows are those Sitemap records
+    (frontier.parse_robots_sitemaps); 'url'/'index' rows parse the
+    referenced sitemap XMLs (strategies.parse_sitemap: <urlset> entries
+    with optional <lastmod>, <sitemapindex> children). Oracle: same
+    bodies inlined as VALUES, same parses in DuckDB SQL."""
+    from jobscrawler_spark.generators import gen_sitemap_bodies
+    from jobscrawler_spark.operators.frontier import (
+        parse_robots_sitemaps,
+        parse_robots_txt,
+    )
+    from jobscrawler_spark.sources.strategies import parse_sitemap
 
-    bodies = spark.createDataFrame(gen_robots_bodies(8, seed=5), "host string, body string")
-    return parse_robots_txt(bodies)
+    rb, sb = gen_sitemap_bodies(8, seed=5)
+    rbd = spark.createDataFrame(rb, "host string, body string")
+    sbd = spark.createDataFrame(sb, "host string, url string, body string")
+    null_b = F.lit(None).cast("boolean")
+    null_s = F.lit(None).cast("string")
+    rules = parse_robots_txt(rbd).select(
+        "host",
+        F.lit("rule").alias("kind"),
+        F.col("path_prefix").alias("item"),
+        "allow",
+        null_s.alias("lastmod"),
+    )
+    refs = parse_robots_sitemaps(rbd).select(
+        "host",
+        F.lit("ref").alias("kind"),
+        F.col("sitemap_url").alias("item"),
+        null_b.alias("allow"),
+        null_s.alias("lastmod"),
+    )
+    sm = parse_sitemap(sbd).select(
+        "host", "kind", F.col("loc").alias("item"), null_b.alias("allow"), "lastmod"
+    )
+    return rules.unionByName(refs).unionByName(sm)
 
 
 def _robots_parse_oracle() -> str:
-    from jobscrawler_spark.generators import gen_robots_bodies
+    from jobscrawler_spark.generators import gen_sitemap_bodies
 
     def q(s) -> str:
         return "'" + str(s).replace("'", "''") + "'"
 
-    body_rows = ",\n".join(
-        f"({q(r.host)}, {q(r.body)})" for r in gen_robots_bodies(8, seed=5).itertuples()
-    )
+    rb, sb = gen_sitemap_bodies(8, seed=5)
+    body_rows = ",\n".join(f"({q(r.host)}, {q(r.body)})" for r in rb.itertuples())
+    sm_rows = ",\n".join(f"({q(r.host)}, {q(r.body)})" for r in sb.itertuples())
     return rf"""
         WITH b(host, body) AS (VALUES {body_rows}),
+        smb(host, body) AS (VALUES {sm_rows}),
         split AS (SELECT host, string_split_regex(body, '\r?\n') AS l FROM b),
         lines AS (
           SELECT host, generate_subscripts(l, 1) AS pos,
@@ -423,10 +454,36 @@ def _robots_parse_oracle() -> str:
           FROM lagged),
         agents AS (
           SELECT host, group_id, list(DISTINCT v) AS agents
-          FROM g WHERE d = 'user-agent' GROUP BY host, group_id)
-        SELECT DISTINCT r.host, r.v AS path_prefix, (r.d = 'allow') AS allow
-        FROM g r JOIN agents a ON r.host = a.host AND r.group_id = a.group_id
-        WHERE r.d IN ('allow', 'disallow') AND list_contains(a.agents, '*') AND r.v <> ''
+          FROM g WHERE d = 'user-agent' GROUP BY host, group_id),
+        rules AS (
+          SELECT DISTINCT r.host, 'rule' AS kind, r.v AS item,
+                 (r.d = 'allow') AS allow, CAST(NULL AS VARCHAR) AS lastmod
+          FROM g r JOIN agents a ON r.host = a.host AND r.group_id = a.group_id
+          WHERE r.d IN ('allow', 'disallow') AND list_contains(a.agents, '*') AND r.v <> ''),
+        refs AS (
+          SELECT DISTINCT host, 'ref' AS kind,
+                 trim(regexp_extract(line, '(?i)^sitemap\s*:\s*(\S+)', 1)) AS item,
+                 CAST(NULL AS BOOLEAN) AS allow, CAST(NULL AS VARCHAR) AS lastmod
+          FROM lines
+          WHERE regexp_extract(line, '(?i)^sitemap\s*:\s*(\S+)', 1) <> ''),
+        smblocks AS (
+          SELECT host, 'url' AS kind,
+                 unnest(regexp_extract_all(body, '(?is)<url(?:\s[^>]*)?>(.*?)</url\s*>', 1)) AS blk
+          FROM smb
+          UNION ALL
+          SELECT host, 'index' AS kind,
+                 unnest(regexp_extract_all(body, '(?is)<sitemap(?:\s[^>]*)?>(.*?)</sitemap\s*>', 1)) AS blk
+          FROM smb),
+        smrows AS (
+          SELECT host, kind,
+                 trim(regexp_extract(blk, '(?is)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc\s*>', 1)) AS item,
+                 CAST(NULL AS BOOLEAN) AS allow,
+                 nullif(trim(regexp_extract(blk, '(?is)<lastmod(?:\s[^>]*)?>\s*(.*?)\s*</lastmod\s*>', 1)), '') AS lastmod
+          FROM smblocks
+          WHERE trim(regexp_extract(blk, '(?is)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc\s*>', 1)) <> '')
+        SELECT * FROM rules
+        UNION ALL SELECT * FROM refs
+        UNION ALL SELECT * FROM smrows
     """
 
 

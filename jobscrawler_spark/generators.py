@@ -192,6 +192,64 @@ def gen_images(n: int = 512, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_sitemap_bodies(
+    n_hosts: int = 8, seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(robots_bodies, sitemap_bodies) for the sitemap-discovery parsers.
+
+    robots bodies are gen_robots_bodies(n_hosts, seed) with ``Sitemap:``
+    directives injected the messy ways real files have them: top-of-file
+    before any group, MID-FILE between groups (a standalone record that
+    must not break group stacking), mixed-case directive, multiple per
+    host, and none at all for every fourth host. sitemap bodies are the
+    referenced XMLs: <urlset> docs with optional <lastmod> and sloppy
+    whitespace, plus a <sitemapindex> for every third host."""
+    robots = gen_robots_bodies(n_hosts, seed)
+    r_rows, s_rows = [], []
+    for hi, r in enumerate(robots.itertuples()):
+        host = r.host
+        lines = r.body.split("\n")
+        if hi % 4 != 3:
+            lines.insert(0, f"Sitemap: https://{host}/sitemap.xml")
+            # mid-file, right before the '*' group: per the robots spec a
+            # Sitemap record is independent of groups and must be ignored
+            # by the rule parser without terminating a User-agent stack
+            star = next(i for i, ln in enumerate(lines) if ln.startswith("user-agent: *"))
+            lines.insert(star, f"sitemap: https://{host}/sitemap-extra.xml")
+            urls = [f"https://{host}/p/{j}" for j in range(2 + hi % 3)]
+            entries = []
+            for j, u in enumerate(urls):
+                lm = (
+                    f"\n    <lastmod>2026-0{1 + j % 9}-1{j % 10}</lastmod>"
+                    if j % 2 == 0
+                    else ""
+                )
+                entries.append(f"  <url>\n    <loc> {u} </loc>{lm}\n  </url>")
+            s_rows.append(
+                {
+                    "host": host,
+                    "url": f"https://{host}/sitemap.xml",
+                    "body": '<?xml version="1.0"?>\n<urlset>\n'
+                    + "\n".join(entries)
+                    + "\n</urlset>",
+                }
+            )
+            if hi % 3 == 0:
+                s_rows.append(
+                    {
+                        "host": host,
+                        "url": f"https://{host}/sitemap-extra.xml",
+                        "body": "<sitemapindex>"
+                        f"<sitemap><loc>https://{host}/sm/a.xml</loc>"
+                        "<lastmod>2026-02-01</lastmod></sitemap>"
+                        f"<sitemap>\n  <loc>https://{host}/sm/b.xml</loc>\n</sitemap>"
+                        "</sitemapindex>",
+                    }
+                )
+        r_rows.append({"host": host, "body": "\n".join(lines)})
+    return pd.DataFrame(r_rows), pd.DataFrame(s_rows)
+
+
 def gen_curation_images(n: int = 160, seed: int = 42) -> pd.DataFrame:
     """Images table variant for the curation operators: same columns as
     gen_images but with every curation defect class present — tiny,

@@ -178,6 +178,45 @@ def parse_robots_txt(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
     )
 
 
+def parse_robots_sitemaps(bodies: DataFrame) -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` records — seed DISCOVERY, the
+    crawl-stack step before the frontier (reference has none: its seeds
+    are the per-site JSON configs, src/resources/*). Per the robots spec
+    (RFC 9309 §2.2.4 shape) Sitemap is a STANDALONE record: it belongs to
+    no User-agent group, applies regardless of agent, and the rule parser
+    ignores it without terminating a group stack (pinned in
+    tests/test_sitemaps.py). Map-side: posexplode + regexp, no shuffle
+    beyond the final distinct."""
+    lines = bodies.select(
+        "host", F.posexplode(F.split("body", r"\r?\n")).alias("pos", "line")
+    ).withColumn("line", F.trim(F.regexp_replace("line", r"#.*$", "")))
+    url = F.trim(F.regexp_extract("line", r"(?i)^sitemap\s*:\s*(\S+)", 1))
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def sitemap_seeds(parsed: DataFrame) -> DataFrame:
+    """(url, priority, depth) bootstrap seeds from parse_sitemap 'url'
+    rows. Priority is the LINK-RULE hash priority
+    (pmod(xxhash64(canonical), 1e6)/1e6) — data-defined, so the oracle
+    simulator recomputes it bit-identically (oracle/simulator.py
+    _priority_of) and sitemap-seeded crawls stay exactly equivalent.
+    depth 0: sitemap entries are roots, like config seeds."""
+    from ..functions.urls import with_canonical
+
+    u = parsed.filter(F.col("kind") == "url").select(F.col("loc").alias("url")).distinct()
+    return with_canonical(u, n_shards=1).select(
+        "url",
+        (F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double") / 1_000_000.0).alias(
+            "priority"
+        ),
+        F.lit(0).alias("depth"),
+    )
+
+
 def parse_robots_crawl_delay(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
     """(host, crawl_delay_rounds) from ``Crawl-delay`` directives in the
     ``user_agent``'s group (max wins if repeated) — robots discovery feeds

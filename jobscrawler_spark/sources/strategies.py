@@ -289,3 +289,38 @@ def follow_links(jobs: DataFrame, payloads: DataFrame, pattern: str = P_DESC,
             (F.col("_st") == 200) & (extracted != ""), extracted
         ).otherwise(F.lit(default)),
     ).drop("_st", "_body")
+
+
+def parse_sitemap(bodies: DataFrame) -> DataFrame:
+    """Sitemap XML -> (host, kind, loc, lastmod): 'url' rows from <urlset>
+    docs, 'index' rows from <sitemapindex> docs (their loc is a CHILD
+    sitemap to fetch next — same fetch dataflow pointed at it, like
+    robots discovery). Regexp block extraction in the parse_rss style:
+    case-insensitive, whitespace-sloppy, <lastmod> optional. Seed
+    DISCOVERY for the frontier — the reference seeds from hand-written
+    site configs (src/resources/*) and has no sitemap support. Map-side
+    only (posexplode + regexp; one narrow explode per block kind)."""
+
+    def blocks(tag: str, kind: str) -> DataFrame:
+        pat = rf"(?is)<{tag}(?:\s[^>]*)?>(.*?)</{tag}\s*>"
+        loc = F.trim(F.regexp_extract("block", r"(?is)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc\s*>", 1))
+        lastmod = F.trim(
+            F.regexp_extract("block", r"(?is)<lastmod(?:\s[^>]*)?>\s*(.*?)\s*</lastmod\s*>", 1)
+        )
+        return (
+            bodies.select(
+                "host",
+                F.explode(F.regexp_extract_all("body", F.lit(pat), 1)).alias("block"),
+            )
+            .select(
+                "host",
+                F.lit(kind).alias("kind"),
+                loc.alias("loc"),
+                F.when(lastmod != "", lastmod).alias("lastmod"),
+            )
+            .filter(F.col("loc") != "")
+        )
+
+    # <sitemap> blocks only occur inside <sitemapindex>, <url> only inside
+    # <urlset>, so block-level extraction needs no outer-document dispatch
+    return blocks("url", "url").unionByName(blocks("sitemap", "index"))

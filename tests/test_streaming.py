@@ -108,3 +108,46 @@ def test_stateful_sessionize_matches_batch(spark, events_dir, tmp_path):
     for k, v in got.items():
         assert want[k] == v, (k, v, want[k])
     assert len(got) >= len(want) - n_users  # at most one open session/user
+
+
+def test_streaming_image_curation_matches_batch(spark, tmp_path):
+    """R5 multimodal streaming: curate_images is a stateless Arrow map, so
+    it runs unchanged on a file-source STREAM of image rows (the landing
+    table as it fills) — streamed verdicts must equal the batch pass
+    row-for-row. The §2.8 story for the image payload: curation keeps up
+    with the crawl incrementally instead of as a post-hoc batch."""
+    from jobscrawler_spark.generators import gen_curation_images
+    from jobscrawler_spark.operators.image_curation import curate_images
+    from jobscrawler_spark.schemas import IMAGES
+
+    pdf = gen_curation_images(80, seed=11)
+    src = str(tmp_path / "images_stream")
+    # two files = two micro-batch inputs
+    spark.createDataFrame(pdf.iloc[:40], IMAGES).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[40:], IMAGES).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(IMAGES).parquet(src)
+    out = curate_images(stream, min_side=24)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.asDict() for r in spark.sql("select * from curated_stream").collect()),
+        key=lambda r: r["image_id"],
+    )
+    want = sorted(
+        (
+            r.asDict()
+            for r in curate_images(
+                spark.createDataFrame(pdf, IMAGES), min_side=24
+            ).collect()
+        ),
+        key=lambda r: r["image_id"],
+    )
+    assert got == want and len(got) == 80
