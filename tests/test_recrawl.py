@@ -160,3 +160,33 @@ def test_seen_set_expire_deletes_cuckoo_fingerprints(spark, tmp_path):
     # compact with min_round_added physically drops the expired rows
     ss.compact(spark, min_round_added=1)
     assert ss.seen.read(spark).filter(F.col("round_added") < 1).count() == 0
+
+
+def test_recrawl_resume_mid_policy_matches_oracle(spark, tmp_path):
+    """The policy is derived purely from the round number ('resume needs
+    no extra state'): stopping after 3 rounds and resuming for 3 more —
+    with expiries firing on both sides of the restart — must reproduce
+    the oracle's uninterrupted 6-round log, including re-fetches in the
+    resumed half."""
+    pol = _no_delay_politeness(6, 13)
+    base = str(tmp_path / "resume")
+    kwargs = dict(
+        n_shards=4, default_budget=4, max_depth=1, fetch_partitions=4,
+        prefilter="cuckoo", recrawl_after=RECRAWL,
+    )
+    eng = CrawlEngine(spark, base, **kwargs)
+    eng.bootstrap(gen_seeds(n=60, n_hosts=6, seed=13), pol, gen_robots(6, seed=13))
+    eng.run(3)
+    eng2 = CrawlEngine.resume(spark, base, **kwargs)
+    assert eng2.next_round == 3
+    eng2.run(3)
+    log = [
+        (r["round"], r["url"])
+        for r in eng2.fetch_log().select("round", "url").collect()
+    ]
+    olog, _ = _run_oracle(pol)
+    assert log == olog
+    late_refetch = {
+        u for r, u in log if r >= 3
+    } & {u for r, u in log if r < 3}
+    assert late_refetch, "no re-fetch landed after the resume"
