@@ -487,6 +487,52 @@ def _robots_parse_oracle() -> str:
     """
 
 
+def _corpus_filter_oracle(sf_dir: str) -> str:
+    """corpus_filter's SQL with the LEARNED quality stage (r5): weights
+    independently re-derived from the training contract
+    (oracle/expected.py:train_quality_logit_independent) over the same
+    first-512-docs sample read from the oracle-scale parquet, inlined as
+    a DOUBLE[] literal; scoring = list_reduce in token order + bias —
+    transcendental-free, bit-identical to the Catalyst aggregate."""
+    import duckdb as _ddb
+
+    from jobscrawler_spark.functions.quality_model import DIM, SAMPLE_DOCS
+    from jobscrawler_spark.oracle.expected import train_quality_logit_independent
+
+    texts = [
+        r[0]
+        for r in _ddb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"ORDER BY doc_id LIMIT {SAMPLE_DOCS}"
+        ).fetchall()
+    ]
+    w, b = train_quality_logit_independent(texts, dim=DIM)
+    w_lit = "[" + ", ".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+    return rf"""
+        WITH surv AS (
+          SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+        feats AS ({_TF_SQL}),
+        langs AS ({_LANG_SQL}),
+        wts AS (SELECT {w_lit} AS w),
+        ml AS (
+          SELECT doc_id,
+                 round(CASE WHEN len(l) = 0 THEN {b!r}
+                       ELSE {b!r} + CAST(list_reduce(
+                         list_transform(l, t ->
+                           w[(CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % {DIM}) + 1]),
+                         (a, x) -> a + x) AS DOUBLE)
+                       END, 6) AS ml_logit
+          FROM (SELECT doc_id, {_TOK_NONEMPTY} AS l FROM documents), wts)
+        SELECT f.doc_id, l.pred_lang, f.quality, m.ml_logit
+        FROM feats f
+        JOIN langs l ON f.doc_id = l.doc_id
+        JOIN surv s ON f.doc_id = s.doc_id
+        JOIN ml m ON f.doc_id = m.doc_id
+        WHERE l.pred_lang = 'en' AND f.quality >= 0.7 AND m.ml_logit >= 0
+    """
+
+
 def _oracle_sf_dir() -> str:
     """The directory the DuckDB oracles read data-dependent inputs from.
     ``SPARK_GRAFT_ORACLE_SF`` is the established knob (tests/
@@ -1140,15 +1186,38 @@ def q_dedup_exact(spark, sf):
 
 def q_corpus_filter(spark, sf):
     """Composed training-corpus gate: exact-dedup survivor AND lang == en
-    AND quality >= 0.7 — the dedupe/lang-id/quality operators chained the
-    way a real corpus build chains them."""
+    AND heuristic quality >= 0.7 AND the LEARNED quality filter (r5) —
+    the chain a real corpus build runs. The learned stage
+    (functions/quality_model.py) trains a hashed-feature logistic model
+    driver-side on the first 512 docs (weak labels per the documented
+    stand-in rule) and scores map-side in pure Catalyst; its LOGIT rides
+    the output and ml_keep joins the filter. The oracle independently
+    re-derives the weights from the contract (oracle/expected.py) and
+    scores with DuckDB list_reduce — transcendental-free, so the two
+    engines agree to the bit."""
+    from jobscrawler_spark.functions import quality_model as QM
+
     d = _t(spark, sf, "documents")
+    sample = [
+        (r["doc_id"], r["text"])
+        for r in d.orderBy("doc_id").limit(QM.SAMPLE_DOCS).select("doc_id", "text").collect()
+    ]
+    w, b = QM.train_on_sample(sample)
     surv = D.dedup_survivors(d).select(F.col("keep_doc_id").alias("doc_id"))
     t = F.col("text")
     return (
-        d.join(surv, "doc_id")
-        .select("doc_id", T.lang_id(t).alias("pred_lang"), T.quality_score(t).alias("quality"))
-        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.7))
+        QM.score_quality_model(d.join(surv, "doc_id"), w, b)
+        .select(
+            "doc_id",
+            T.lang_id(t).alias("pred_lang"),
+            T.quality_score(t).alias("quality"),
+            "ml_logit",
+            "ml_keep",
+        )
+        .filter(
+            (F.col("pred_lang") == "en") & (F.col("quality") >= 0.7) & F.col("ml_keep")
+        )
+        .drop("ml_keep")
     )
 
 
@@ -1834,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+_TOK_NONEMPTY = rf"list_filter({_TOK}, t -> t <> '')"
 
 
 _TF_SQL = rf"""
@@ -1908,6 +1978,14 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
     except (OSError, _ddb.Error) as e:
         print(
             f"[oracle_sql] text_bpe degraded to rows-only: "
+            f"cannot read {sf_dir}/documents.parquet ({e})",
+            file=_sys.stderr,
+        )
+    try:
+        out["corpus_filter"] = _corpus_filter_oracle(sf_dir)
+    except (OSError, _ddb.Error) as e:
+        print(
+            f"[oracle_sql] corpus_filter degraded to rows-only: "
             f"cannot read {sf_dir}/documents.parquet ({e})",
             file=_sys.stderr,
         )
@@ -2141,18 +2219,6 @@ def _oracle_sql_static() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang
                        ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents) WHERE rn <= 20
-        """,
-        "corpus_filter": rf"""
-            WITH surv AS (
-              SELECT min(doc_id) AS doc_id FROM documents
-              GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
-            feats AS ({_TF_SQL}),
-            langs AS ({_LANG_SQL})
-            SELECT f.doc_id, l.pred_lang, f.quality
-            FROM feats f
-            JOIN langs l ON f.doc_id = l.doc_id
-            JOIN surv s ON f.doc_id = s.doc_id
-            WHERE l.pred_lang = 'en' AND f.quality >= 0.7
         """,
         "dedup_minhash_lsh": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 150),

@@ -85,6 +85,49 @@ def crawl_recrawl_rows() -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# quality model: independent re-derivation of the logistic weights
+# ---------------------------------------------------------------------------
+
+
+def train_quality_logit_independent(
+    texts: list[str], dim: int = 2048, epochs: int = 20, lr: float = 0.5,
+    label_min_tokens: int = 40,
+) -> tuple[list[float], float]:
+    """Re-derive functions/quality_model.py's weights from the published
+    CONTRACT alone (module docstring there): md5[:4]%dim buckets, plain
+    SGD in ascending-doc order, token-order accumulation, 6dp rounding.
+    Hand-written separately (the train_bpe independent-pass pattern) —
+    if either implementation drifts from the contract the corpus_filter
+    gate hash-mismatches."""
+    import hashlib as _hl
+    import math as _m
+
+    bucketed = []
+    for t in texts:
+        toks = t.split()
+        n = len(toks)
+        y = 1 if n >= label_min_tokens else 0
+        bucketed.append(
+            (y, [int(_hl.md5(x.encode()).hexdigest()[:4], 16) % dim for x in toks])
+        )
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(epochs):
+        for y, buckets in bucketed:
+            if not buckets:
+                continue
+            z = b
+            for j in buckets:
+                z = z + w[j]
+            zc = 60.0 if z > 60.0 else (-60.0 if z < -60.0 else z)
+            g = 1.0 / (1.0 + _m.exp(-zc)) - y
+            b = b - lr * g
+            for j in buckets:
+                w[j] = w[j] - lr * g
+    return [round(x, 6) for x in w], round(b, 6)
+
+
+# ---------------------------------------------------------------------------
 # image_curation: quality stats + alignment verdicts, sequential recompute
 # ---------------------------------------------------------------------------
 
