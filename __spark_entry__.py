@@ -883,14 +883,56 @@ def _phash_neardup_oracle() -> str:
 
 
 def _image_dedup_clusters_oracle() -> str:
-    """Oracle for image_dedup_clusters: pairs from the shared phash CTEs,
-    components via a recursive min-reachable-label CTE (same construction
-    as the graph_components oracle), then the survivor labeling over the
-    FULL image set (singletons label themselves)."""
+    """Oracle for the CROSS-MODAL image_dedup_clusters (r5): the shared
+    Python fixture inlined as VALUES (input data — single-construction
+    rule), then PURE SQL recomputes both edge sets independently — pixel
+    pairs via the 8x8-bit phash band join, caption pairs via the proven
+    md5-MinHash band SQL (dedup_minhash_lsh's oracle construction) with
+    the band-DF-16 cap — components via the recursive min-reachable-label
+    CTE, survivor labeling over the full set, and the per-image degree
+    counts per signal."""
+    rows = ",\n              ".join(
+        f"('{i}', {p}, '{c}')" for i, p, c in _crossmodal_fixture_rows()
+    )
     return f"""
-            WITH RECURSIVE {_phash_fixture_ctes()},
+            WITH RECURSIVE imgs(image_id, phash, caption) AS (VALUES
+              {rows}),
+            pbands AS (
+              SELECT image_id, phash, i AS band_idx, (phash >> (i * 8)) & 255 AS band_val
+              FROM imgs CROSS JOIN generate_series(0, 7) AS t(i)),
+            pxpairs AS (
+              SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+              FROM pbands a JOIN pbands b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+            ctoks AS (
+              SELECT image_id, string_split_regex(trim(caption), '\\s+') AS l FROM imgs),
+            csh AS (
+              SELECT DISTINCT image_id, z[1] || ' ' || z[2] || ' ' || z[3] AS shingle
+              FROM (SELECT image_id, unnest(list_zip(l, l[2:], l[3:])) AS z FROM ctoks)
+              WHERE z[3] IS NOT NULL),
+            csig AS (
+              SELECT image_id, p.perm,
+                     min(md5(CAST(p.perm AS VARCHAR) || '|' || shingle)) AS minhash
+              FROM csh, (SELECT unnest(generate_series(0, 7)) AS perm) p
+              GROUP BY image_id, p.perm),
+            cbands AS (
+              SELECT image_id, CAST(perm // 2 AS INT) AS band,
+                     md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_key
+              FROM csig GROUP BY image_id, CAST(perm // 2 AS INT)),
+            csmall AS (
+              SELECT band, band_key FROM cbands
+              GROUP BY band, band_key HAVING count(*) <= 16),
+            ckept AS (SELECT c.* FROM cbands c JOIN csmall USING (band, band_key)),
+            cappairs AS (
+              SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+              FROM ckept a JOIN ckept b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.image_id < b.image_id),
             pairs AS (
-              SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 7),
+              SELECT id_a, id_b FROM pxpairs
+              UNION SELECT id_a, id_b FROM cappairs),
             sym AS (SELECT id_a AS a, id_b AS b FROM pairs
                     UNION SELECT id_b, id_a FROM pairs),
             comp(node, label) AS (
@@ -900,12 +942,24 @@ def _image_dedup_clusters_oracle() -> str:
             lab AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
             labeled AS (
               SELECT i.image_id, coalesce(l.component, i.image_id) AS component
-              FROM withvar i LEFT JOIN lab l ON l.node = i.image_id),
+              FROM imgs i LEFT JOIN lab l ON l.node = i.image_id),
             sizes AS (
-              SELECT component, count(*) AS n_members FROM labeled GROUP BY component)
+              SELECT component, count(*) AS n_members FROM labeled GROUP BY component),
+            pxdeg AS (
+              SELECT image_id, CAST(count(*) AS INT) AS n FROM (
+                SELECT id_a AS image_id FROM pxpairs
+                UNION ALL SELECT id_b FROM pxpairs) GROUP BY image_id),
+            capdeg AS (
+              SELECT image_id, CAST(count(*) AS INT) AS n FROM (
+                SELECT id_a AS image_id FROM cappairs
+                UNION ALL SELECT id_b FROM cappairs) GROUP BY image_id)
             SELECT l.image_id, l.component, s.n_members,
-                   l.image_id = l.component AS is_survivor
+                   l.image_id = l.component AS is_survivor,
+                   coalesce(p.n, 0) AS n_px_edges,
+                   coalesce(c.n, 0) AS n_cap_edges
             FROM labeled l JOIN sizes s USING (component)
+            LEFT JOIN pxdeg p ON p.image_id = l.image_id
+            LEFT JOIN capdeg c ON c.image_id = l.image_id
         """
 
 
@@ -1308,24 +1362,54 @@ def q_ann_ivf_kmeans(spark, sf):
     return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, centroids=cents)
 
 
-def _phash_fixture_df(spark):
-    """The deterministic image-phash fixture shared by the two image-dedup
-    gates: gen_images(256) base rows plus, per image, a 1-bit-flipped
-    variant row (id suffixed '~v', flip bit = index % 40 — identically in
-    the oracle's VALUES construction)."""
+def _crossmodal_fixture_rows() -> list[tuple[str, int, str]]:
+    """The deterministic (image_id, phash, caption) fixture shared by the
+    two image-dedup gates — ONE Python construction used verbatim by both
+    the Spark DataFrame and the oracle's VALUES table, so the two engines
+    compute over bit-identical input.
+
+    Rows: gen_images(256) base rows plus, per image, a 1-bit-flipped
+    variant (id suffixed '~v', flip bit = index % 40 — the same phashes
+    the pre-r5 SQL-side xor reconstruction produced, pinned by
+    tests/test_dedupe.py). Captions plant the r5 CROSS-MODAL classes:
+
+    - i % 32 == 0: images i and i+1 share one caption (8 planted caption
+      pairs whose phashes are FAR apart — only the caption signal can
+      cluster them; Hamming > 7 asserted in tests)
+    - i % 8 == 7: the boilerplate stock caption shared by 32 images —
+      over the band_df_cap of 16, so it must contribute ZERO edges
+    - variants: four per-variant-unique tokens — no caption shingles
+      shared with anything (their edges are pixel-only, to their base)
+    - everything else keeps the organic gen_images caption (unique hex —
+      no organic caption edges)
+    """
     from jobscrawler_spark.generators import gen_images
 
-    base = spark.createDataFrame(
-        gen_images(256)[["image_id", "phash"]], "image_id string, phash long"
+    rows: list[tuple[str, int, str]] = []
+    for i, r in enumerate(gen_images(256).itertuples()):
+        cap = r.caption
+        if i % 32 == 0:
+            cap = f"shared stock caption g{i:03d} photo banner"
+        elif i % 32 == 1:
+            cap = f"shared stock caption g{i - 1:03d} photo banner"
+        elif i % 8 == 7:
+            cap = "stock photo image banner free download"
+        rows.append((r.image_id, int(r.phash), cap))
+        rows.append(
+            (
+                r.image_id + "~v",
+                int(r.phash) ^ (1 << (i % 40)),
+                f"u{i}a u{i}b u{i}c u{i}d",
+            )
+        )
+    return rows
+
+
+def _phash_fixture_df(spark):
+    """Spark side of _crossmodal_fixture_rows (single-construction rule)."""
+    return spark.createDataFrame(
+        _crossmodal_fixture_rows(), "image_id string, phash long, caption string"
     )
-    idx = F.regexp_extract("image_id", r"/i/([0-9]+)$", 1).cast("int")
-    variants = base.select(
-        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
-        F.col("phash")
-        .bitwiseXOR(F.pow(F.lit(2.0), F.pmod(idx, F.lit(40))).cast("long"))
-        .alias("phash"),
-    )
-    return base.unionByName(variants)
 
 
 def q_image_curation(spark, sf):
@@ -1363,24 +1447,29 @@ def q_image_phash_neardup(spark, sf):
 
 
 def q_image_dedup_clusters(spark, sf):
-    """Image dedup END-TO-END (NEW r4): phash near-dup pairs -> connected
-    components -> survivor materialization over the full image set — the
-    pixel-space mirror of the text chain (dedup_minhash_lsh ->
-    graph_components -> dedup_exact survivors). Every image gets its
-    cluster label (min image_id reachable; singletons label themselves),
-    the cluster size, and the is_survivor flag (reference analogue: the
-    ON CONFLICT image-row dedupe, src/crawler.py:199-219, upgraded from
-    exact-key to near-dup clusters).
+    """Image dedup END-TO-END (r4, CROSS-MODAL since r5): near-dup pairs
+    from BOTH signal spaces — pixel (phash Hamming LSH) and caption
+    (word-shingle MinHash LSH with the band-DF-16 boilerplate cap) — into
+    one shared connected-components pass, then survivor materialization
+    over the full image set, with per-image edge attribution
+    (n_px_edges / n_cap_edges). Every image gets its cluster label (min
+    image_id reachable; singletons label themselves), the cluster size,
+    and the is_survivor flag (reference analogue: the ON CONFLICT
+    image-row dedupe, src/crawler.py:199-219, upgraded from exact-key to
+    cross-modal near-dup clusters). The r4 phash-only output is a strict
+    projection of this run minus the caption edges; the fixture plants
+    pixel-only pairs (1-bit variants), caption-only pairs (8 shared
+    captions across far-apart phashes) and a 32-image boilerplate caption
+    that the DF cap must silence.
 
-    Plan at 10^10 images: the pair join is the banded Hamming LSH (one
-    uniform-key shuffle, never all-pairs), components is pointer-doubling
-    hash joins (O(log d) rounds), and the label/size joins are uniform-key
-    equi-joins — no step materializes more than O(images + pairs) rows."""
-    from jobscrawler_spark.operators.components import label_clusters
-    from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
+    Plan at 10^10 images: both pair joins are banded LSH (uniform band
+    keys, never all-pairs; the caption side drops over-cap buckets
+    first), components is pointer-doubling hash joins (O(log d) rounds),
+    and the label/size/degree joins are uniform-key equi-joins — no step
+    materializes more than O(images + pairs) rows."""
+    from jobscrawler_spark.operators.dedupe import crossmodal_dup_clusters
 
-    imgs = _phash_fixture_df(spark)
-    return label_clusters(imgs, phash_near_dup_pairs(imgs), "image_id")
+    return crossmodal_dup_clusters(_phash_fixture_df(spark))
 
 
 def q_decontaminate_ngram(spark, sf):

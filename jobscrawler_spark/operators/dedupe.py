@@ -151,11 +151,21 @@ def minhash_lsh_pairs(
     n_perm: int = 8,
     band_size: int = 2,
     k: int = 3,
+    band_df_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing >=1 LSH band.
 
     Bands of ``band_size`` consecutive permutations; band key = md5 of the
     concatenated signature slice. The bucket join is the only shuffle.
+
+    ``band_df_cap`` (r5, optional) drops band buckets holding more than
+    that many docs BEFORE the self-join — the stop-gram discipline of
+    ngram_jaccard_pairs applied to LSH buckets. Exact duplicates of a
+    boilerplate text (a stock caption shared by 10^6 images) land in ONE
+    bucket per band and would otherwise enumerate 10^12 pairs; under the
+    cap they produce none (exact-dup boilerplate is handled by the exact
+    family, which groups rather than pairs). Default None preserves the
+    r3 contract of the text gate.
     """
     sig = minhash_signatures(docs, text_col, n_perm, k)
     band = (F.col("perm") / band_size).cast("int")
@@ -164,6 +174,14 @@ def minhash_lsh_pairs(
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
+    if band_df_cap is not None:
+        small = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= band_df_cap)
+            .select("band", "band_key")
+        )
+        bands = bands.join(small, ["band", "band_key"])
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -378,4 +396,77 @@ def mask_repeated_spans(
             6,
         ).alias("masked_frac"),
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+    )
+
+
+def crossmodal_dup_clusters(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 7,
+    n_perm: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    band_df_cap: int | None = 16,
+) -> DataFrame:
+    """CROSS-MODAL image dedup (r5): cluster images whose PIXELS are near
+    duplicates (phash Hamming LSH) *or* whose CAPTIONS are near duplicates
+    (word-shingle MinHash LSH), through one shared connected-components
+    pass — the LAION/DataComp curation step where a re-encoded crop and a
+    re-hosted copy with the same alt-text both collapse onto one survivor.
+    The reference dedupes on exact link equality only (ON CONFLICT,
+    src/crawler.py:204); this is that semantic lifted to the image payload
+    the graft mandates, with both signal spaces feeding one graph.
+
+    Output: one row per image — (id, component, n_members, is_survivor)
+    from components.label_clusters plus the per-image edge attribution
+    ``n_px_edges`` / ``n_cap_edges`` (how many near-dup partners each
+    signal contributed), so a curator can see WHY an image was clustered.
+
+    Scale shape at 10^10 images: pixel edges come from the banded Hamming
+    LSH (one uniform 8-bit-band-key shuffle, pigeonhole-complete for
+    ``max_hamming <= n_bands - 1``); caption edges from the MinHash band
+    join with ``band_df_cap`` dropping boilerplate-caption buckets ("stock
+    photo" alt-text shared by millions of images would otherwise pair
+    quadratically — capped buckets contribute nothing, exact-dup
+    boilerplate belongs to the exact family). Components is pointer
+    doubling (O(log d) rounds); the degree counts are two more uniform-key
+    aggs. No step is ever all-pairs.
+    """
+    from .components import label_clusters
+    from .similarity import phash_near_dup_pairs
+
+    px = phash_near_dup_pairs(
+        images, max_hamming=max_hamming, id_col=id_col, phash_col=phash_col
+    ).select("id_a", "id_b")
+    cap = minhash_lsh_pairs(
+        images.select(
+            F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
+        ),
+        n_perm=n_perm,
+        band_size=band_size,
+        k=k,
+        band_df_cap=band_df_cap,
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    edges = px.unionByName(cap).distinct()
+    labeled = label_clusters(images, edges, id_col)
+
+    def _degree(pairs: DataFrame, name: str) -> DataFrame:
+        ends = pairs.select(F.col("id_a").alias(id_col)).unionAll(
+            pairs.select(F.col("id_b").alias(id_col))
+        )
+        return ends.groupBy(id_col).agg(F.count("*").cast("int").alias(name))
+
+    return (
+        labeled.join(_degree(px, "__px"), id_col, "left")
+        .join(_degree(cap, "__cap"), id_col, "left")
+        .select(
+            id_col,
+            "component",
+            "n_members",
+            "is_survivor",
+            F.coalesce("__px", F.lit(0)).alias("n_px_edges"),
+            F.coalesce("__cap", F.lit(0)).alias("n_cap_edges"),
+        )
     )

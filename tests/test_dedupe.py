@@ -150,3 +150,70 @@ def test_mask_repeated_spans_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, D.mask_repeated_spans(df, k=8).collect()))
     b = sorted(map(tuple, D.mask_repeated_spans(df.repartition(11), k=8).collect()))
     assert a == b
+
+
+def test_minhash_band_df_cap_silences_boilerplate(spark):
+    """30 images share one boilerplate caption; two share a real unique
+    caption. Under a band_df_cap below 30 the boilerplate bucket is
+    dropped: only the real pair survives. With cap=None (the text gate's
+    r3 contract) the boilerplate pairs all appear."""
+    docs = [(f"b{i:02d}", "stock photo image banner free download") for i in range(30)]
+    docs += [("r00", "red barn under october evening sky"),
+             ("r01", "red barn under october evening sky")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    capped = D.minhash_lsh_pairs(df, band_df_cap=16).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in capped] == [("r00", "r01")]
+    uncapped = D.minhash_lsh_pairs(df, band_df_cap=None).count()
+    assert uncapped == 30 * 29 // 2 + 1
+
+
+def _crossmodal_result(spark):
+    import __spark_entry__ as E
+
+    fixture = E._phash_fixture_df(spark)
+    rows = D.crossmodal_dup_clusters(fixture).collect()
+    return fixture, {r["image_id"]: r for r in rows}
+
+
+def test_crossmodal_caption_pairs_cluster_across_far_phashes(spark):
+    """The planted caption pairs (i, i+1 for i % 32 == 0) have phashes far
+    beyond the Hamming radius — ONLY the caption signal can merge them.
+    They must share a component, via caption edges, with zero px edges
+    between the two base images."""
+    import __spark_entry__ as E
+
+    fixture, by_id = _crossmodal_result(spark)
+    phash = {r["image_id"]: r["phash"] for r in fixture.collect()}
+    for i in range(0, 256, 32):
+        a, b = f"http://img42.example.com/i/{i}", f"http://img42.example.com/i/{i + 1}"
+        assert bin(phash[a] ^ phash[b]).count("1") > 7, (a, b)
+        assert by_id[a]["component"] == by_id[b]["component"], (a, b)
+        assert by_id[a]["n_cap_edges"] >= 1 and by_id[b]["n_cap_edges"] >= 1
+
+
+def test_crossmodal_boilerplate_caption_contributes_no_edges(spark):
+    """The 32 boilerplate-caption images (i % 8 == 7) exceed the band DF
+    cap: their caption degree must be exactly 0 and they must not share a
+    component with one another (their only edges are pixel edges to their
+    own 1-bit variants)."""
+    _, by_id = _crossmodal_result(spark)
+    ids = [f"http://img42.example.com/i/{i}" for i in range(7, 256, 8)]
+    assert len(ids) == 32
+    comps = set()
+    for i in ids:
+        assert by_id[i]["n_cap_edges"] == 0, i
+        comps.add(by_id[i]["component"])
+    assert len(comps) == len(ids)
+
+
+def test_crossmodal_variants_cluster_by_pixels_only(spark):
+    """Every 1-bit variant joins its base image's component through the
+    pixel signal (caption tokens are variant-unique): n_px_edges >= 1 and
+    n_cap_edges == 0 on all variants."""
+    _, by_id = _crossmodal_result(spark)
+    for i in (3, 40, 77, 128, 255):
+        base = f"http://img42.example.com/i/{i}"
+        var = base + "~v"
+        assert by_id[var]["component"] == by_id[base]["component"]
+        assert by_id[var]["n_px_edges"] >= 1
+        assert by_id[var]["n_cap_edges"] == 0
