@@ -1568,19 +1568,30 @@ def q_text_bpe(spark, sf):
 
 
 def q_multimodal_pipeline(spark, sf):
-    """ALL THREE multimodal pipelines in ONE rows-only gate (merged r4 for
-    the 50-entry window), kind-tagged and fingerprinted to a common shape:
-    image decode + feature extraction, video vraw demux + every-5th-frame
-    PNG re-encode, and audio pcm16 waveform features — each mapInPandas
-    over binary columns with the engine's own codecs (external codecs are
-    honest stubs). HASH-GREEN since r5: oracle/expected.py recomputes
-    every branch with fresh numpy and the oracle inlines the rows as
-    VALUES. Fingerprint doubles are scaled to INTEGERS before the md5
+    """ALL FOUR multimodal pipelines in ONE gate (merged r4 for the
+    50-entry window; scene-cut branch added r5), kind-tagged and
+    fingerprinted to a common shape: image decode + feature extraction,
+    video vraw demux + every-5th-frame PNG re-encode, audio pcm16
+    waveform features, and scene-cut detection + keyframe attribution
+    over scene-structured clips (multimodal.detect_scene_cuts —
+    INTEGER-EXACT luma-delta contract, per-frame phash feeding keyframe
+    dedup) — each mapInPandas over binary columns with the engine's own
+    codecs (external codecs are honest stubs). HASH-GREEN since r5:
+    oracle/expected.py recomputes every branch with fresh
+    numpy/pure-Python and the oracle inlines the rows as VALUES.
+    Fingerprint doubles are scaled to INTEGERS before the md5
     (round(x*10^k) as bigint) so no float-to-string formatting crosses
     engines; the per-pipeline invariants (PSNR, frame equality,
-    numpy-recompute parity) stay asserted in tests/test_multimodal.py."""
-    from jobscrawler_spark.generators import gen_audio, gen_images, gen_videos
+    numpy-recompute parity, planted-cut recovery) stay asserted in
+    tests/test_multimodal.py."""
+    from jobscrawler_spark.generators import (
+        gen_audio,
+        gen_images,
+        gen_scene_videos,
+        gen_videos,
+    )
     from jobscrawler_spark.operators.multimodal import (
+        detect_scene_cuts,
         extract_audio_features,
         extract_image_features,
         sample_video_frames,
@@ -1640,7 +1651,29 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
-    out = img.unionByName(vid).unionByName(aud)
+    scenes = spark.createDataFrame(
+        gen_scene_videos(10), "video_id string, bytes binary, fmt string"
+    )
+    sc = detect_scene_cuts(scenes).select(
+        F.lit("scene_cut").alias("kind"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_no").alias("idx"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit("vraw").alias("fmt"),
+        F.col("scene_id").cast("double").alias("metric"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "scene_id",
+                F.col("is_cut").cast("int"),
+                "luma_sum",
+                F.coalesce("diff_sum", F.lit(-1)),
+                "phash",
+            )
+        ).alias("fingerprint"),
+    )
+    out = img.unionByName(vid).unionByName(aud).unionByName(sc)
     return spark.createDataFrame(out.collect(), out.schema)
 
 

@@ -315,6 +315,46 @@ def gen_videos(n: int = 12, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def scene_video_frames(i: int, seed: int = 42) -> "np.ndarray":
+    """Frames of scene-structured clip ``i``: 2-5 scenes, each a distinct
+    synth base image held for 3-7 frames with a tiny per-frame brightness
+    wobble (+0/+1/+2 per channel — far under any cut threshold), so the
+    ONLY large luma jumps are at the scene boundaries. Shared by
+    gen_scene_videos (container side) and oracle/expected.py (fresh
+    recompute side): frame construction is INPUT, not computation."""
+    import numpy as np
+
+    d = url_digest(f"scenevid:{seed}:{i}")
+    w, h = 12 + (d >> 8) % 21, 12 + (d >> 16) % 21
+    n_scenes = 2 + d % 4
+    frames = []
+    for s in range(n_scenes):
+        base = codecs.synth_pixels(
+            (d ^ (0x9E3779B97F4A7C15 * (s + 1))) & 0xFFFFFFFFFFFFFFFF, int(w), int(h)
+        )
+        scene_len = 3 + (d >> (4 * s + 20)) % 5
+        for t in range(scene_len):
+            frames.append(
+                np.clip(base.astype(np.int16) + (t % 3), 0, 255).astype(np.uint8)
+            )
+    return np.stack(frames)
+
+
+def gen_scene_videos(n: int = 10, seed: int = 42) -> pd.DataFrame:
+    """Deterministic scene-structured vraw clips for the scene-cut /
+    keyframe operator: (video_id, bytes, fmt)."""
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "video_id": f"sv{i:04d}",
+                "bytes": codecs.encode_vraw(scene_video_frames(i, seed)),
+                "fmt": "vraw",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def gen_audio(n: int = 48, seed: int = 42) -> pd.DataFrame:
     """Deterministic pcm16 waveforms: (audio_id, bytes, fmt)."""
     rows = []

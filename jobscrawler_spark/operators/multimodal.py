@@ -168,3 +168,74 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = (
+    "video_id string, frame_no int, scene_id int, is_cut boolean, "
+    "luma_sum long, diff_sum long, phash long"
+)
+
+
+def detect_scene_cuts(videos: DataFrame, threshold: int = 25) -> DataFrame:
+    """Scene-cut detection + keyframe attribution over vraw clips — the
+    video-curation step a training pipeline runs before frame embedding
+    (sample ONE representative frame per scene instead of every-Nth blind:
+    filter ``is_cut`` for the keyframes, reference analogue: the
+    frame-blind every-Nth sampler, sample_video_frames above).
+
+    INTEGER-EXACT contract, no float ever crosses engines: per-pixel luma
+    is the channel sum r+g+b (0..765, exact int64), ``luma_sum`` the
+    frame's total, ``diff_sum`` the sum of per-pixel absolute luma
+    deltas vs the previous frame (NULL on frame 0). A cut is
+    ``diff_sum > threshold * n_pixels`` — i.e. mean per-pixel delta above
+    ``threshold`` — or frame 0; ``scene_id`` counts cuts. The fixture's
+    in-scene wobble moves each pixel by <= 6 (threshold 25 never fires);
+    a scene change re-seeds every pixel (mean delta in the hundreds).
+    Each frame also gets the engine's 64-bit phash so downstream keyframe
+    dedup joins straight into phash_near_dup_pairs.
+
+    One mapInPandas pass, map-side only (a clip's frames live on its own
+    row — no shuffle at any corpus size; 100 TB of video parallelizes per
+    clip, and long-form video is chunked into bounded clips upstream at
+    demux time, exactly like documents are chunked for packing).
+
+    videos: (video_id, bytes, fmt). External demuxers stay honest stubs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                if r.fmt != "vraw":
+                    raise NotImplementedError(f"video demuxer for {r.fmt!r} not available")
+                frames, _fps = codecs.decode_vraw(bytes(r.bytes))
+                n_px = int(frames.shape[1] * frames.shape[2])
+                prev = None
+                scene = -1
+                for fno in range(frames.shape[0]):
+                    luma = frames[fno].astype(np.int64).sum(axis=2)
+                    if prev is None:
+                        diff = None
+                        is_cut = True
+                    else:
+                        diff = int(np.abs(luma - prev).sum())
+                        is_cut = diff > threshold * n_px
+                    if is_cut:
+                        scene += 1
+                    out.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_no": fno,
+                            "scene_id": scene,
+                            "is_cut": is_cut,
+                            "luma_sum": int(luma.sum()),
+                            "diff_sum": diff,
+                            "phash": codecs.phash(frames[fno]),
+                        }
+                    )
+                    prev = luma
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in SCENE_CUT_SCHEMA.split(", ")]
+            )
+
+    return videos.mapInPandas(run, schema=SCENE_CUT_SCHEMA)

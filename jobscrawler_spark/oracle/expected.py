@@ -618,4 +618,48 @@ def multimodal_rows() -> list[tuple]:
         ).hexdigest()
         rows.append(("audio", f"a{i:04d}", 0, None, None, "pcm16",
                      spark_round_py(rms, 4), fp))
+    rows += scene_cut_rows()
+    return rows
+
+
+def scene_cut_rows(n: int = 10, seed: int = 42, threshold: int = 25) -> list[tuple]:
+    """Fresh sequential recompute of detect_scene_cuts over the scene-video
+    fixture, in the merged multimodal gate shape (kind, media_id, idx, w,
+    h, fmt, metric, fingerprint): pure-Python per-pixel accumulation (no
+    numpy reductions — the operator uses vectorized int64 sums; integers
+    are exact so any arithmetic order must agree), metric = scene_id,
+    fingerprint = md5(scene|cut|luma_sum|diff_sum(-1 for frame 0)|phash).
+    Frame construction is shared input (generators.scene_video_frames);
+    the computation is independent."""
+    from ..functions import codecs
+    from ..generators import scene_video_frames
+
+    rows: list[tuple] = []
+    for i in range(n):
+        frames = scene_video_frames(i, seed)
+        n_px = int(frames.shape[1]) * int(frames.shape[2])
+        prev: list[int] | None = None
+        scene = -1
+        for fno in range(frames.shape[0]):
+            luma = [
+                int(px[0]) + int(px[1]) + int(px[2])
+                for row in frames[fno]
+                for px in row
+            ]
+            if prev is None:
+                diff = None
+                is_cut = True
+            else:
+                diff = sum(abs(a - b) for a, b in zip(luma, prev))
+                is_cut = diff > threshold * n_px
+            if is_cut:
+                scene += 1
+            fp = hashlib.md5(
+                f"{scene}|{1 if is_cut else 0}|{sum(luma)}|"
+                f"{-1 if diff is None else diff}|{codecs.phash(frames[fno])}".encode()
+            ).hexdigest()
+            rows.append(
+                ("scene_cut", f"sv{i:04d}", fno, None, None, "vraw", float(scene), fp)
+            )
+            prev = luma
     return rows

@@ -114,3 +114,74 @@ def test_external_codecs_honestly_stubbed(spark):
     aud = spark.createDataFrame([("a0", b"xx", "mp3")], "audio_id string, bytes binary, fmt string")
     with _pytest.raises(Exception, match="NotImplementedError|mp3"):
         extract_audio_features(aud).collect()
+
+
+def _scene_truth(i, seed=42):
+    """Scene lengths of clip i, re-derived from the generator's metadata
+    (independent of both the operator and expected.py)."""
+    from jobscrawler_spark.generators import url_digest
+
+    d = url_digest(f"scenevid:{seed}:{i}")
+    n_scenes = 2 + d % 4
+    return [3 + (d >> (4 * s + 20)) % 5 for s in range(n_scenes)]
+
+
+def test_scene_cuts_recover_planted_boundaries(spark):
+    """is_cut fires exactly at the scene starts the generator planted, and
+    scene_id counts them; the in-scene brightness wobble never fires."""
+    from jobscrawler_spark.generators import gen_scene_videos
+    from jobscrawler_spark.operators.multimodal import detect_scene_cuts
+
+    vids = spark.createDataFrame(
+        gen_scene_videos(10), "video_id string, bytes binary, fmt string"
+    )
+    rows = detect_scene_cuts(vids).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert len(by_vid) == 10
+    for i in range(10):
+        lens = _scene_truth(i)
+        expected_cuts = [sum(lens[:s]) for s in range(len(lens))]
+        frames = sorted(by_vid[f"sv{i:04d}"], key=lambda r: r["frame_no"])
+        assert len(frames) == sum(lens)
+        got_cuts = [r["frame_no"] for r in frames if r["is_cut"]]
+        assert got_cuts == expected_cuts, (i, got_cuts, expected_cuts)
+        assert [r["scene_id"] for r in frames] == [
+            sum(f >= c for c in expected_cuts) - 1 for f in range(sum(lens))
+        ]
+
+
+def test_scene_cut_wobble_bounded_and_frame0_null(spark):
+    """Non-cut frames have mean per-pixel luma delta <= 6 (the wobble
+    bound); frame 0's diff_sum is NULL and still a cut."""
+    from jobscrawler_spark.generators import gen_scene_videos, url_digest
+    from jobscrawler_spark.operators.multimodal import detect_scene_cuts
+
+    vids = spark.createDataFrame(
+        gen_scene_videos(4), "video_id string, bytes binary, fmt string"
+    )
+    for r in detect_scene_cuts(vids).collect():
+        i = int(r["video_id"][2:])
+        d = url_digest(f"scenevid:42:{i}")
+        n_px = (12 + (d >> 8) % 21) * (12 + (d >> 16) % 21)
+        if r["frame_no"] == 0:
+            assert r["diff_sum"] is None and r["is_cut"]
+        elif not r["is_cut"]:
+            assert r["diff_sum"] <= 6 * n_px
+        else:
+            assert r["diff_sum"] > 25 * n_px
+
+
+def test_scene_cuts_deterministic_across_partitionings(spark):
+    """1-partition and 8-partition runs emit identical rows (map-side
+    operator: partitioning must be invisible)."""
+    from jobscrawler_spark.generators import gen_scene_videos
+    from jobscrawler_spark.operators.multimodal import detect_scene_cuts
+
+    pdf = gen_scene_videos(6)
+    one = spark.createDataFrame(pdf, "video_id string, bytes binary, fmt string").coalesce(1)
+    many = spark.createDataFrame(pdf, "video_id string, bytes binary, fmt string").repartition(8)
+    a = sorted(map(tuple, detect_scene_cuts(one).collect()))
+    b = sorted(map(tuple, detect_scene_cuts(many).collect()))
+    assert a == b
