@@ -437,18 +437,31 @@ def crossmodal_dup_clusters(
     from .components import label_clusters
     from .similarity import phash_near_dup_pairs
 
-    px = phash_near_dup_pairs(
-        images, max_hamming=max_hamming, id_col=id_col, phash_col=phash_col
-    ).select("id_a", "id_b")
-    cap = minhash_lsh_pairs(
-        images.select(
-            F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
-        ),
-        n_perm=n_perm,
-        band_size=band_size,
-        k=k,
-        band_df_cap=band_df_cap,
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    # both pair sets are consumed TWICE (component edges + degree counts):
+    # localCheckpoint materializes each LSH chain once instead of re-running
+    # the band self-joins per consumer (the same lineage-truncation tool
+    # connected_components already uses; pairs storage is O(edges), already
+    # paid inside CC for the symmetrized copy)
+    px = (
+        phash_near_dup_pairs(
+            images, max_hamming=max_hamming, id_col=id_col, phash_col=phash_col
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cap = (
+        minhash_lsh_pairs(
+            images.select(
+                F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
+            ),
+            n_perm=n_perm,
+            band_size=band_size,
+            k=k,
+            band_df_cap=band_df_cap,
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint()
+    )
     edges = px.unionByName(cap).distinct()
     labeled = label_clusters(images, edges, id_col)
 
