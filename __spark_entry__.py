@@ -775,8 +775,22 @@ def _e2e_fixture_oracles() -> dict[str, str]:
                  CAST(n_px AS INT) AS n_units,
                  CAST(pre // 65536 AS BIGINT) AS bin_id,
                  CAST(pre % 65536 AS INT) AS bin_offset
-          FROM ic)
+          FROM ic),
+        bins AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(pre // 256 AS BIGINT) AS bin_id
+          FROM c),
+        man AS (
+          SELECT 'manifest' AS kind, source AS grp,
+                 source || '#' || CAST(bin_id AS VARCHAR) || '|' ||
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                   AS item_id,
+                 CAST(count(*) AS INT) AS n_units,
+                 bin_id,
+                 CAST(sum(n_tokens) AS INT) AS bin_offset
+          FROM bins GROUP BY source, bin_id)
         SELECT * FROM txt UNION ALL SELECT * FROM img
+        UNION ALL SELECT * FROM man
     """
     out["image_curation"] = values(
         [
@@ -1502,9 +1516,15 @@ def q_pack_sequences(spark, sf):
     cross-multiplication (no transcendental crosses engines), an
     md5-prefix shard appended to the key (shard_hex_chars=1 — the 7-value
     class alone would serialize the window at 10^10 images), pixel-budget
-    bins of 65536 (operators/corpus.py:pack_image_batches)."""
+    bins of 65536 (operators/corpus.py:pack_image_batches). 'manifest'
+    rows are the r5 EXPORT SINK's per-shard manifest
+    (operators/export.py:shard_manifest) over the text assignment —
+    column mapping documented there: item_id = shard|content_md5 (the
+    numerically-id-ordered md5 that pins shard CONTENT, not just
+    counts), n_units = n_docs, bin_offset = shard token mass."""
     from jobscrawler_spark.generators import gen_curation_images
     from jobscrawler_spark.operators.corpus import pack_image_batches, pack_sequences
+    from jobscrawler_spark.operators.export import assign_shards, shard_manifest
 
     text = pack_sequences(_t(spark, sf, "documents"), budget=256).select(
         F.lit("text").alias("kind"),
@@ -1513,6 +1533,14 @@ def q_pack_sequences(spark, sf):
         F.col("n_tokens").alias("n_units"),
         "bin_id",
         "bin_offset",
+    )
+    man = shard_manifest(assign_shards(_t(spark, sf, "documents"), budget=256)).select(
+        F.lit("manifest").alias("kind"),
+        F.col("source").alias("grp"),
+        F.concat_ws("|", "shard", "content_md5").alias("item_id"),
+        F.col("n_docs").alias("n_units"),
+        "bin_id",
+        F.col("shard_tokens").cast("int").alias("bin_offset"),
     )
     imgs = spark.createDataFrame(
         gen_curation_images(160)[["image_id", "w", "h"]],
@@ -1526,7 +1554,7 @@ def q_pack_sequences(spark, sf):
         "bin_id",
         "bin_offset",
     )
-    return text.unionByName(image)
+    return text.unionByName(image).unionByName(man)
 
 
 def q_corpus_mix(spark, sf):
