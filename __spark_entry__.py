@@ -1523,10 +1523,11 @@ def q_pack_sequences(spark, sf):
     numerically-id-ordered md5 that pins shard CONTENT, not just
     counts), n_units = n_docs, bin_offset = shard token mass."""
     from jobscrawler_spark.generators import gen_curation_images
-    from jobscrawler_spark.operators.corpus import pack_image_batches, pack_sequences
+    from jobscrawler_spark.operators.corpus import pack_image_batches
     from jobscrawler_spark.operators.export import assign_shards, shard_manifest
 
-    text = pack_sequences(_t(spark, sf, "documents"), budget=256).select(
+    assigned = assign_shards(_t(spark, sf, "documents"), budget=256)
+    text = assigned.select(
         F.lit("text").alias("kind"),
         F.col("source").alias("grp"),
         F.col("doc_id").cast("string").alias("item_id"),
@@ -1534,7 +1535,7 @@ def q_pack_sequences(spark, sf):
         "bin_id",
         "bin_offset",
     )
-    man = shard_manifest(assign_shards(_t(spark, sf, "documents"), budget=256)).select(
+    man = shard_manifest(assigned).select(
         F.lit("manifest").alias("kind"),
         F.col("source").alias("grp"),
         F.concat_ws("|", "shard", "content_md5").alias("item_id"),
@@ -1596,15 +1597,19 @@ def q_text_bpe(spark, sf):
 
 
 def q_multimodal_pipeline(spark, sf):
-    """ALL FOUR multimodal pipelines in ONE gate (merged r4 for the
-    50-entry window; scene-cut branch added r5), kind-tagged and
-    fingerprinted to a common shape: image decode + feature extraction,
-    video vraw demux + every-5th-frame PNG re-encode, audio pcm16
-    waveform features, and scene-cut detection + keyframe attribution
+    """ALL FIVE multimodal pipelines in ONE gate (merged r4 for the
+    50-entry window; scene-cut + scene-dup branches added r5), kind-tagged
+    and fingerprinted to a common shape: image decode + feature
+    extraction, video vraw demux + every-5th-frame PNG re-encode, audio
+    pcm16 waveform features, scene-cut detection + keyframe attribution
     over scene-structured clips (multimodal.detect_scene_cuts —
     INTEGER-EXACT luma-delta contract, per-frame phash feeding keyframe
-    dedup) — each mapInPandas over binary columns with the engine's own
-    codecs (external codecs are honest stubs). HASH-GREEN since r5:
+    dedup), and cross-video duplicate-scene stats over the shared-scene
+    fixture (multimodal.scene_dup_stats — keyframe phashes through the
+    banded Hamming LSH; the oracle recompute runs EXACT all-pairs, so the
+    match re-validates the pigeonhole recall guarantee) — each
+    mapInPandas over binary columns with the engine's own codecs
+    (external codecs are honest stubs). HASH-GREEN since r5:
     oracle/expected.py recomputes every branch with fresh
     numpy/pure-Python and the oracle inlines the rows as VALUES.
     Fingerprint doubles are scaled to INTEGERS before the md5
@@ -1623,6 +1628,7 @@ def q_multimodal_pipeline(spark, sf):
         extract_audio_features,
         extract_image_features,
         sample_video_frames,
+        scene_dup_stats,
     )
     from jobscrawler_spark.schemas import IMAGES
 
@@ -1679,6 +1685,21 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
+    dup = scene_dup_stats(
+        spark.createDataFrame(
+            gen_scene_videos(12, shared_scene=True),
+            "video_id string, bytes binary, fmt string",
+        )
+    ).select(
+        F.lit("scene_dup").alias("kind"),
+        F.col("video_id").alias("media_id"),
+        F.col("n_scenes").alias("idx"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit("vraw").alias("fmt"),
+        F.col("shared_scene_frac").alias("metric"),
+        F.md5(F.concat_ws("|", "n_scenes", "n_shared_scenes")).alias("fingerprint"),
+    )
     scenes = spark.createDataFrame(
         gen_scene_videos(10), "video_id string, bytes binary, fmt string"
     )
@@ -1701,7 +1722,7 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
-    out = img.unionByName(vid).unionByName(aud).unionByName(sc)
+    out = img.unionByName(vid).unionByName(aud).unionByName(sc).unionByName(dup)
     return spark.createDataFrame(out.collect(), out.schema)
 
 

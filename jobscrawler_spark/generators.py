@@ -315,23 +315,36 @@ def gen_videos(n: int = 12, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def scene_video_frames(i: int, seed: int = 42) -> "np.ndarray":
+SHARED_SCENE_SEED = 0xB0CE_77E5_0DDB_A11
+
+
+def scene_video_frames(i: int, seed: int = 42, shared_scene: bool = False) -> "np.ndarray":
     """Frames of scene-structured clip ``i``: 2-5 scenes, each a distinct
     synth base image held for 3-7 frames with a tiny per-frame brightness
     wobble (+0/+1/+2 per channel — far under any cut threshold), so the
     ONLY large luma jumps are at the scene boundaries. Shared by
     gen_scene_videos (container side) and oracle/expected.py (fresh
-    recompute side): frame construction is INPUT, not computation."""
+    recompute side): frame construction is INPUT, not computation.
+
+    ``shared_scene`` plants cross-video BOILERPLATE (the scene-dup
+    fixture): every third clip is 24x24 and its scene 0 is the one fixed
+    shared base — identical keyframes across those clips, so only they
+    may pair in the duplicate-scene join. Default False preserves the
+    scene-cut fixture bit-for-bit."""
     import numpy as np
 
     d = url_digest(f"scenevid:{seed}:{i}")
     w, h = 12 + (d >> 8) % 21, 12 + (d >> 16) % 21
+    plant = shared_scene and i % 3 == 0
+    if plant:
+        w, h = 24, 24
     n_scenes = 2 + d % 4
     frames = []
     for s in range(n_scenes):
-        base = codecs.synth_pixels(
-            (d ^ (0x9E3779B97F4A7C15 * (s + 1))) & 0xFFFFFFFFFFFFFFFF, int(w), int(h)
-        )
+        base_seed = (d ^ (0x9E3779B97F4A7C15 * (s + 1))) & 0xFFFFFFFFFFFFFFFF
+        if plant and s == 0:
+            base_seed = SHARED_SCENE_SEED
+        base = codecs.synth_pixels(base_seed, int(w), int(h))
         scene_len = 3 + (d >> (4 * s + 20)) % 5
         for t in range(scene_len):
             frames.append(
@@ -340,7 +353,9 @@ def scene_video_frames(i: int, seed: int = 42) -> "np.ndarray":
     return np.stack(frames)
 
 
-def gen_scene_videos(n: int = 10, seed: int = 42) -> pd.DataFrame:
+def gen_scene_videos(
+    n: int = 10, seed: int = 42, shared_scene: bool = False
+) -> pd.DataFrame:
     """Deterministic scene-structured vraw clips for the scene-cut /
     keyframe operator: (video_id, bytes, fmt)."""
     rows = []
@@ -348,7 +363,7 @@ def gen_scene_videos(n: int = 10, seed: int = 42) -> pd.DataFrame:
         rows.append(
             {
                 "video_id": f"sv{i:04d}",
-                "bytes": codecs.encode_vraw(scene_video_frames(i, seed)),
+                "bytes": codecs.encode_vraw(scene_video_frames(i, seed, shared_scene)),
                 "fmt": "vraw",
             }
         )

@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import codecs
 
@@ -239,3 +240,96 @@ def detect_scene_cuts(videos: DataFrame, threshold: int = 25) -> DataFrame:
             )
 
     return videos.mapInPandas(run, schema=SCENE_CUT_SCHEMA)
+
+
+def scene_dup_stats(
+    videos: DataFrame, threshold: int = 25, max_hamming: int = 4, n_bands: int = 8
+) -> DataFrame:
+    """Cross-video DUPLICATE-SCENE statistics — the video analogue of
+    paragraph_dup_stats (dedupe.py): detect scenes, take each scene's
+    keyframe phash, pair keyframes across the corpus via the banded
+    Hamming LSH, and report per video the fraction of its scenes that
+    also appear in ANOTHER video. Intros, outros, ad bumpers and
+    syndicated segments — the boilerplate a video-training corpus must
+    down-weight exactly like repeated web paragraphs.
+
+    Returns (video_id, n_scenes, n_shared_scenes, shared_scene_frac).
+    Same-video pairs are excluded: internal repetition is scene
+    STRUCTURE, not corpus boilerplate.
+
+    Scale shape — EXACT-FIRST, the boilerplate split that keeps LSH
+    buckets bounded: a real corpus's dominant duplicate-scene mode is the
+    bit-identical intro shared by millions of clips, which in a naive
+    scene-level LSH is ONE band bucket pairing quadratically. Here
+    identical phashes are handled by a groupBy (countDistinct videos per
+    phash — one counter, zero pairs, any multiplicity), and the banded
+    Hamming LSH runs only over DISTINCT phash values (boilerplate
+    collapses to one representative before the self-join). A scene is
+    shared iff its phash value occurs in >= 2 videos (exact branch) or a
+    near phash value (1 <= hamming <= max_hamming) occurs in a different
+    video (near branch, decided per scene x near-partner row — no
+    collect_set of video lists). Every join/agg key is uniform (phash,
+    band, scene_key); pigeonhole recall is unchanged (max_hamming <=
+    n_bands - 1 over the representative set). Scene-cut detection is the
+    map-side pass above, and the keyframe set is already ~scene_len x
+    smaller than the frame population before any shuffle.
+    """
+    from .similarity import phash_near_dup_pairs
+
+    keys = (
+        detect_scene_cuts(videos, threshold)
+        .filter(F.col("is_cut"))
+        .select(
+            F.concat_ws("#", "video_id", F.col("scene_id").cast("string")).alias(
+                "scene_key"
+            ),
+            "video_id",
+            "phash",
+        )
+        .localCheckpoint()  # consumed by the stats groupBy AND both shared branches
+    )
+    stats = keys.groupBy("phash").agg(
+        F.countDistinct("video_id").alias("__n_vids"),
+        F.min("video_id").alias("__v0"),  # the single video when __n_vids == 1
+    )
+    exact_shared = (
+        keys.join(stats.filter(F.col("__n_vids") >= 2).select("phash"), "phash")
+        .select("scene_key")
+    )
+    reps = stats.select(
+        F.col("phash").alias("pid"), F.col("phash").alias("ph")
+    )
+    rep_pairs = phash_near_dup_pairs(
+        reps, max_hamming=max_hamming, id_col="pid", phash_col="ph", n_bands=n_bands
+    )
+    sym = rep_pairs.select(
+        F.col("id_a").alias("phash"), F.col("id_b").alias("__q")
+    ).unionAll(rep_pairs.select(F.col("id_b").alias("phash"), F.col("id_a").alias("__q")))
+    near_shared = (
+        keys.join(sym, "phash")
+        .join(
+            stats.select(
+                F.col("phash").alias("__q"),
+                F.col("__n_vids").alias("__qn"),
+                F.col("__v0").alias("__qv"),
+            ),
+            "__q",
+        )
+        .filter((F.col("__qn") >= 2) | (F.col("__qv") != F.col("video_id")))
+        .select("scene_key")
+    )
+    shared = (
+        exact_shared.unionAll(near_shared).distinct().withColumn("__shared", F.lit(1))
+    )
+    return (
+        keys.join(shared, "scene_key", "left")
+        .groupBy("video_id")
+        .agg(
+            F.count("*").cast("int").alias("n_scenes"),
+            F.sum(F.coalesce("__shared", F.lit(0))).cast("int").alias("n_shared_scenes"),
+        )
+        .withColumn(
+            "shared_scene_frac",
+            F.round(F.col("n_shared_scenes") / F.col("n_scenes"), 6),
+        )
+    )

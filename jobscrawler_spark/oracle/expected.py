@@ -619,6 +619,7 @@ def multimodal_rows() -> list[tuple]:
         rows.append(("audio", f"a{i:04d}", 0, None, None, "pcm16",
                      spark_round_py(rms, 4), fp))
     rows += scene_cut_rows()
+    rows += scene_dup_rows()
     return rows
 
 
@@ -662,4 +663,58 @@ def scene_cut_rows(n: int = 10, seed: int = 42, threshold: int = 25) -> list[tup
                 ("scene_cut", f"sv{i:04d}", fno, None, None, "vraw", float(scene), fp)
             )
             prev = luma
+    return rows
+
+
+def scene_dup_rows(n: int = 12, seed: int = 42, threshold: int = 25,
+                   max_hamming: int = 4) -> list[tuple]:
+    """Fresh sequential recompute of scene_dup_stats over the SHARED-SCENE
+    fixture (gen_scene_videos(shared_scene=True)), in the merged
+    multimodal gate shape: cuts re-detected with pure-Python accumulation,
+    keyframe phashes via the engine's deterministic phash, then EXACT
+    all-pairs Hamming over the keyframe set (~n*scenes rows — the banded
+    LSH the operator uses is pigeonhole-complete for max_hamming <=
+    n_bands - 1, so the exact pass must agree; running it exactly here
+    independently re-validates that guarantee on this data). Row shape:
+    idx = n_scenes, metric = shared_scene_frac, fingerprint =
+    md5(n_scenes|n_shared)."""
+    from ..functions import codecs
+    from ..generators import scene_video_frames
+
+    keyframes: list[tuple[int, int, int]] = []  # (video_i, scene, phash)
+    for i in range(n):
+        frames = scene_video_frames(i, seed, shared_scene=True)
+        n_px = int(frames.shape[1]) * int(frames.shape[2])
+        prev: list[int] | None = None
+        scene = -1
+        for fno in range(frames.shape[0]):
+            luma = [
+                int(px[0]) + int(px[1]) + int(px[2])
+                for row in frames[fno]
+                for px in row
+            ]
+            cut = prev is None or sum(
+                abs(a - b) for a, b in zip(luma, prev)
+            ) > threshold * n_px
+            if cut:
+                scene += 1
+                keyframes.append((i, scene, codecs.phash(frames[fno])))
+            prev = luma
+    shared: set[tuple[int, int]] = set()
+    for ai in range(len(keyframes)):
+        for bi in range(ai + 1, len(keyframes)):
+            va, sa, pa = keyframes[ai]
+            vb, sb, pb = keyframes[bi]
+            if va != vb and bin(pa ^ pb).count("1") <= max_hamming:
+                shared.add((va, sa))
+                shared.add((vb, sb))
+    rows: list[tuple] = []
+    for i in range(n):
+        scenes = [k for k in keyframes if k[0] == i]
+        n_sh = sum(1 for v, s, _ in scenes if (v, s) in shared)
+        fp = hashlib.md5(f"{len(scenes)}|{n_sh}".encode()).hexdigest()
+        rows.append(
+            ("scene_dup", f"sv{i:04d}", len(scenes), None, None, "vraw",
+             spark_round_py(n_sh / len(scenes), 6), fp)
+        )
     return rows

@@ -185,3 +185,52 @@ def test_scene_cuts_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, detect_scene_cuts(one).collect()))
     b = sorted(map(tuple, detect_scene_cuts(many).collect()))
     assert a == b
+
+
+def test_scene_dup_planted_cross_video_boilerplate(spark):
+    """Every third clip of the shared-scene fixture carries the fixed
+    boilerplate scene 0: exactly those clips must report one shared
+    scene; every other clip reports zero."""
+    from jobscrawler_spark.generators import gen_scene_videos
+    from jobscrawler_spark.operators.multimodal import scene_dup_stats
+
+    vids = spark.createDataFrame(
+        gen_scene_videos(12, shared_scene=True),
+        "video_id string, bytes binary, fmt string",
+    )
+    rows = {r["video_id"]: r for r in scene_dup_stats(vids).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        r = rows[f"sv{i:04d}"]
+        if i % 3 == 0:
+            assert r["n_shared_scenes"] == 1, i
+            assert abs(r["shared_scene_frac"] - round(1 / r["n_scenes"], 6)) < 1e-9
+        else:
+            assert r["n_shared_scenes"] == 0, i
+
+
+def test_scene_dup_excludes_same_video_repetition(spark):
+    """A clip whose own intro repeats (scene 0 == scene 2) but matches no
+    OTHER video must report zero shared scenes — internal repetition is
+    scene structure, not corpus boilerplate."""
+    import numpy as np
+
+    from jobscrawler_spark.operators.multimodal import scene_dup_stats
+
+    base_a = codecs.synth_pixels(111, 20, 20)
+    base_b = codecs.synth_pixels(222, 20, 20)
+    frames = np.stack([base_a] * 3 + [base_b] * 3 + [base_a] * 3)
+    other = np.stack(
+        [codecs.synth_pixels(333, 20, 20)] * 3 + [codecs.synth_pixels(444, 20, 20)] * 3
+    )
+    vids = spark.createDataFrame(
+        [
+            ("rep0", bytearray(codecs.encode_vraw(frames)), "vraw"),
+            ("oth0", bytearray(codecs.encode_vraw(other)), "vraw"),
+        ],
+        "video_id string, bytes binary, fmt string",
+    )
+    rows = {r["video_id"]: r for r in scene_dup_stats(vids).collect()}
+    assert rows["rep0"]["n_scenes"] == 3
+    assert rows["rep0"]["n_shared_scenes"] == 0
+    assert rows["oth0"]["n_shared_scenes"] == 0
