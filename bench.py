@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "corpus_mix",
     "image_curation",
     "dedup_repeated_spans",
+    "multimodal_pipeline",  # incl. r5 scene-cut + cross-video scene-dup branches
 ]
 
 
