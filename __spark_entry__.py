@@ -1311,8 +1311,24 @@ def q_sample_deterministic(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
+    """MinHash LSH pairs, kind-tagged since r5: 'batch' rows are the r2
+    one-shot pair set; 'incremental' rows run the CONTINUOUS-INGEST path
+    (dedupe.incremental_minhash_pairs) — docs >= 100 arrive as a new
+    batch whose band table joins the persisted bands of docs < 100, no
+    historical recompute. The incremental set must equal the one-shot
+    pairs touching >= 1 new doc (the oracle states exactly that), which
+    is the invariant that makes batch-at-a-time dedup converge to
+    full-corpus dedup."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
-    return D.minhash_lsh_pairs(d, n_perm=8, band_size=2, k=3)
+    batch = D.minhash_lsh_pairs(d, n_perm=8, band_size=2, k=3).select(
+        F.lit("batch").alias("kind"), "doc_a", "doc_b"
+    )
+    old_bands = D.minhash_bands(d.filter(F.col("doc_id") < 100))
+    new_bands = D.minhash_bands(d.filter(F.col("doc_id") >= 100))
+    incr = D.incremental_minhash_pairs(new_bands, old_bands).select(
+        F.lit("incremental").alias("kind"), "doc_a", "doc_b"
+    )
+    return batch.unionByName(incr)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -2405,10 +2421,16 @@ def _oracle_sql_static() -> dict[str, str]:
               -- integer division: DuckDB CAST(x.5 AS INT) rounds, Spark truncates
               SELECT doc_id, CAST(perm // 2 AS INT) AS band,
                      md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_key
-              FROM sig GROUP BY doc_id, CAST(perm // 2 AS INT))
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-            WHERE a.doc_id < b.doc_id
+              FROM sig GROUP BY doc_id, CAST(perm // 2 AS INT)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              WHERE a.doc_id < b.doc_id)
+            SELECT 'batch' AS kind, doc_a, doc_b FROM pairs
+            UNION ALL
+            -- incremental ingest == one-shot pairs touching >= 1 new doc
+            SELECT 'incremental', doc_a, doc_b FROM pairs
+            WHERE doc_a >= 100 OR doc_b >= 100
         """,
         "text_profile": f"""
             WITH feats AS ({_TF_SQL}),

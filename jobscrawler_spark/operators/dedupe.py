@@ -145,6 +145,37 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_key): the LSH band table — the PERSISTABLE
+    dedup state (incremental ingest appends each batch's bands to a
+    snapshot table and never recomputes historical signatures)."""
+    sig = minhash_signatures(docs, text_col, n_perm, k)
+    band = (F.col("perm") / band_size).cast("int")
+    return (
+        sig.withColumn("band", band)
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+
+
+def _cap_bands(bands: DataFrame, band_df_cap: int | None) -> DataFrame:
+    if band_df_cap is None:
+        return bands
+    small = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= band_df_cap)
+        .select("band", "band_key")
+    )
+    return bands.join(small, ["band", "band_key"])
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -167,27 +198,50 @@ def minhash_lsh_pairs(
     family, which groups rather than pairs). Default None preserves the
     r3 contract of the text gate.
     """
-    sig = minhash_signatures(docs, text_col, n_perm, k)
-    band = (F.col("perm") / band_size).cast("int")
-    bands = (
-        sig.withColumn("band", band)
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
-    )
-    if band_df_cap is not None:
-        small = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= band_df_cap)
-            .select("band", "band_key")
-        )
-        bands = bands.join(small, ["band", "band_key"])
+    bands = _cap_bands(minhash_bands(docs, text_col, n_perm, band_size, k), band_df_cap)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def incremental_minhash_pairs(
+    new_bands: DataFrame, old_bands: DataFrame, band_df_cap: int | None = None
+) -> DataFrame:
+    """INCREMENTAL dedup — the continuous-ingest pattern: candidate pairs
+    touching at least one NEW document, computed by joining the new
+    batch's band table against the persisted store's, never recomputing
+    historical signatures. Feeding each crawl batch through this and
+    appending its bands to the store yields, over time, EXACTLY the
+    one-shot full-corpus pair set (each pair surfaces when its later
+    member arrives — pinned in tests/test_incremental_dedup.py), so
+    day-N dedup cost is O(batch + matching buckets), not O(corpus).
+
+    ``new_bands`` / ``old_bands`` are minhash_bands outputs (the store
+    is a SnapshotTable of them; at scale, written bucketed on band_key
+    so this equi-join co-locates). ``band_df_cap`` mirrors
+    minhash_lsh_pairs — bucket populations counted over store + batch,
+    matching the full-corpus cap semantics (a store can maintain those
+    counts incrementally in its snapshot meta; counting here is one
+    groupBy, still no pair enumeration).
+
+    Returns (doc_a, doc_b), doc_a < doc_b, >= 1 side new.
+    """
+    all_bands = _cap_bands(old_bands.unionByName(new_bands), band_df_cap)
+    new_side = all_bands.join(new_bands.select("doc_id").distinct(), "doc_id")
+    a = new_side.select(F.col("doc_id").alias("na"), "band", "band_key")
+    b = all_bands.select(F.col("doc_id").alias("nb"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            F.least("na", "nb").alias("doc_a"),
+            F.greatest("na", "nb").alias("doc_b"),
+        )
         .distinct()
     )
 

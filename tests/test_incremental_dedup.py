@@ -1,0 +1,76 @@
+"""Incremental MinHash dedup: batch-at-a-time ingest through a persisted
+band store must converge to exactly the one-shot full-corpus pair set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobscrawler_spark.operators import dedupe as D
+from jobscrawler_spark.plans.tables import SnapshotTable
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _pairs(df):
+    return sorted((r["doc_a"], r["doc_b"]) for r in df.collect())
+
+
+def test_three_batch_union_equals_one_shot(spark, docs):
+    """Split the corpus into three arrival batches; the union of each
+    batch's incremental pairs equals the one-shot pair set, with no pair
+    reported twice (a pair surfaces exactly when its later member
+    arrives)."""
+    full = _pairs(D.minhash_lsh_pairs(docs))
+    cuts = [(0, 30), (30, 70), (70, 10**9)]
+    seen_bands = None
+    got = []
+    for lo, hi in cuts:
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        nb = D.minhash_bands(batch)
+        ob = seen_bands if seen_bands is not None else nb.limit(0)
+        got += _pairs(D.incremental_minhash_pairs(nb, ob))
+        seen_bands = ob.unionByName(nb).localCheckpoint()
+    assert len(got) == len(set(got)), "a pair was reported by two batches"
+    assert sorted(got) == full
+
+
+def test_snapshot_store_flow(spark, docs, tmp_path):
+    """The persisted flow: append each batch's bands to a SnapshotTable,
+    join the next batch against the read-back store — same result as the
+    pure-DataFrame path."""
+    store = SnapshotTable(str(tmp_path / "bands"))
+    b1 = docs.filter(F.col("doc_id") < 50)
+    b2 = docs.filter(F.col("doc_id") >= 50)
+    store.append(D.minhash_bands(b1))
+    nb = D.minhash_bands(b2)
+    via_store = _pairs(D.incremental_minhash_pairs(nb, store.read(spark)))
+    pure = _pairs(D.incremental_minhash_pairs(nb, D.minhash_bands(b1)))
+    assert via_store == pure
+    store.append(nb)
+    assert store.read(spark).count() == D.minhash_bands(docs).count()
+
+
+def test_incremental_respects_band_cap(spark):
+    """A boilerplate text spanning old store and new batch: with the cap
+    counted over store + batch, the hot bucket stays silent even though
+    each side alone is under the cap."""
+    old = spark.createDataFrame(
+        [(i, "stock photo image banner free download") for i in range(10)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, "stock photo image banner free download") for i in range(10)]
+        + [(990, "red barn under october evening sky"),
+           (991, "red barn under october evening sky")],
+        "doc_id int, text string",
+    )
+    ob, nb = D.minhash_bands(old), D.minhash_bands(new)
+    capped = _pairs(D.incremental_minhash_pairs(nb, ob, band_df_cap=16))
+    assert capped == [(990, 991)]
+    uncapped = D.incremental_minhash_pairs(nb, ob).count()
+    # 10 new x (10 old + 9 other new) pairs + the real pair
+    assert uncapped == 10 * 10 + 10 * 9 // 2 + 1
