@@ -890,9 +890,15 @@ def _phash_fixture_ctes() -> str:
 
 def _phash_neardup_oracle() -> str:
     return f"""
-            WITH {_phash_fixture_ctes()}
-            SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-            FROM cand WHERE bit_count(xor(pa, pb)) <= 7
+            WITH {_phash_fixture_ctes()},
+            pairs AS (
+              SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+              FROM cand WHERE bit_count(xor(pa, pb)) <= 7)
+            SELECT 'batch' AS kind, id_a, id_b, hamming FROM pairs
+            UNION ALL
+            -- incremental ingest == one-shot pairs touching >= 1 new image
+            SELECT 'incremental', id_a, id_b, hamming FROM pairs
+            WHERE id_a LIKE '%~v' OR id_b LIKE '%~v'
         """
 
 
@@ -1470,10 +1476,28 @@ def q_image_phash_neardup(spark, sf):
     """Image near-dup pairs by phash Hamming LSH (8 bands, hamming<=7 —
     100% recall by pigeonhole). The deterministic image fixtures have
     near-uniform phashes, so the fixture plants 1-bit variants: the
-    operator must recover exactly those planted pairs."""
-    from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
+    operator must recover exactly those planted pairs. Kind-tagged since
+    r5: 'batch' is the one-shot set; 'incremental' runs the
+    continuous-ingest path (similarity.incremental_phash_pairs — the
+    variants arrive as a NEW crawl batch whose banded phashes join the
+    base images' persisted bands, no historical recompute; the oracle
+    states the invariant: one-shot pairs touching >= 1 new image)."""
+    from jobscrawler_spark.operators.similarity import (
+        incremental_phash_pairs,
+        phash_bands,
+        phash_near_dup_pairs,
+    )
 
-    return phash_near_dup_pairs(_phash_fixture_df(spark))
+    imgs = _phash_fixture_df(spark)
+    batch = phash_near_dup_pairs(imgs).select(
+        F.lit("batch").alias("kind"), "id_a", "id_b", "hamming"
+    )
+    old_b = phash_bands(imgs.filter(~F.col("image_id").endswith("~v")))
+    new_b = phash_bands(imgs.filter(F.col("image_id").endswith("~v")))
+    incr = incremental_phash_pairs(new_b, old_b).select(
+        F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming"
+    )
+    return batch.unionByName(incr)
 
 
 def q_image_dedup_clusters(spark, sf):

@@ -208,6 +208,34 @@ def ivf_topk(
     )
 
 
+def phash_bands(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """(id, phash, band_idx, band_val): the banded-phash table — the
+    PERSISTABLE image-dedup state (incremental ingest appends each crawl
+    batch's bands and joins the next batch against the store, mirroring
+    dedupe.minhash_bands on the text side)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col(phash_col), i * width).bitwiseAND(F.lit(mask)).alias(
+                    "band_val"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return images.select(
+        F.col(id_col), F.col(phash_col), F.explode(bands).alias("b")
+    ).select(id_col, phash_col, "b.band_idx", "b.band_val")
+
+
 def phash_near_dup_pairs(
     images: DataFrame,
     max_hamming: int = 7,
@@ -229,22 +257,7 @@ def phash_near_dup_pairs(
     never an all-pairs cross join. At 10^10 images the band bucket is a
     uniform 8-bit + band-idx key: one shuffle, bounded buckets.
     """
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftright(F.col(phash_col), i * width).bitwiseAND(F.lit(mask)).alias(
-                    "band_val"
-                ),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    banded = images.select(
-        F.col(id_col), F.col(phash_col), F.explode(bands).alias("b")
-    ).select(id_col, phash_col, "b.band_idx", "b.band_val")
+    banded = phash_bands(images, id_col, phash_col, n_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -263,6 +276,50 @@ def phash_near_dup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def incremental_phash_pairs(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """INCREMENTAL image dedup — the pixel-space mirror of
+    dedupe.incremental_minhash_pairs: a crawl batch's banded phashes join
+    the persisted store's (``phash_bands`` outputs appended per batch),
+    returning near-dup pairs touching at least one NEW image with no
+    historical recompute. Batch-at-a-time ingest converges to exactly the
+    one-shot phash_near_dup_pairs set (each pair surfaces when its later
+    member arrives — pinned in tests/test_incremental_dedup.py), so
+    day-N image dedup is O(batch + matching buckets), not O(corpus).
+    Pigeonhole recall is unchanged (bands are a property of the hash, not
+    the population). Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    all_bands = old_bands.unionByName(new_bands)
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.least(F.col(f"a.{phash_col}"), F.col(f"b.{phash_col}")).alias("_p1"),
+            F.greatest(F.col(f"a.{phash_col}"), F.col(f"b.{phash_col}")).alias("_p2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_p1").bitwiseXOR(F.col("_p2"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -74,3 +74,43 @@ def test_incremental_respects_band_cap(spark):
     uncapped = D.incremental_minhash_pairs(nb, ob).count()
     # 10 new x (10 old + 9 other new) pairs + the real pair
     assert uncapped == 10 * 10 + 10 * 9 // 2 + 1
+
+
+def test_image_three_batch_union_equals_one_shot(spark):
+    """Pixel-space mirror: three image arrival batches through
+    incremental_phash_pairs reproduce phash_near_dup_pairs exactly,
+    pair-disjointly."""
+    import __spark_entry__ as E
+    from jobscrawler_spark.operators import similarity as S
+
+    imgs = E._phash_fixture_df(spark).localCheckpoint()
+    full = sorted(map(tuple, S.phash_near_dup_pairs(imgs).collect()))
+    idx = F.regexp_extract("image_id", r"/i/([0-9]+)", 1).cast("int")
+    cuts = [(0, 80), (80, 180), (180, 10**9)]
+    seen = None
+    got = []
+    for lo, hi in cuts:
+        batch = imgs.filter((idx >= lo) & (idx < hi))
+        nb = S.phash_bands(batch)
+        ob = seen if seen is not None else nb.limit(0)
+        got += [tuple(r) for r in S.incremental_phash_pairs(nb, ob).collect()]
+        seen = ob.unionByName(nb).localCheckpoint()
+    assert len(got) == len(set(got)), "a pair was reported by two batches"
+    assert sorted(got) == full
+
+
+def test_image_snapshot_store_flow(spark, tmp_path):
+    """Persisted image flow: append each batch's phash bands to a
+    SnapshotTable; store-read path equals the pure-DataFrame path."""
+    import __spark_entry__ as E
+    from jobscrawler_spark.operators import similarity as S
+
+    imgs = E._phash_fixture_df(spark)
+    base = imgs.filter(~F.col("image_id").endswith("~v"))
+    variants = imgs.filter(F.col("image_id").endswith("~v"))
+    store = SnapshotTable(str(tmp_path / "phash_bands"))
+    store.append(S.phash_bands(base))
+    nb = S.phash_bands(variants)
+    via_store = sorted(map(tuple, S.incremental_phash_pairs(nb, store.read(spark)).collect()))
+    pure = sorted(map(tuple, S.incremental_phash_pairs(nb, S.phash_bands(base)).collect()))
+    assert via_store == pure and len(via_store) >= 256
