@@ -522,3 +522,35 @@ class CrawlEngine:
         return label_clusters(
             imgs, phash_near_dup_pairs(imgs, max_hamming=max_hamming), "image_id"
         )
+
+    def incremental_image_dedup_report(self, max_hamming: int = 7) -> DataFrame:
+        """Near-dup pairs among images landed SINCE the last call, against
+        everything landed before — the continuous-ingest alternative to
+        image_dedup_report: a persisted band store (phash_bands appended
+        per call, watermarked by round in the snapshot meta) makes day-N
+        dedup cost O(new images + matching buckets) instead of
+        re-banding the whole landed table every report. The union of
+        successive calls' pair sets equals the one-shot
+        phash_near_dup_pairs over all landed images (each pair surfaces
+        when its later member lands — tests/test_incremental_dedup.py);
+        feed the accumulated pairs to components.label_clusters for the
+        cluster view. Survives resume: the store lives beside the other
+        snapshot tables under base_path."""
+        from .operators.similarity import incremental_phash_pairs, phash_bands
+
+        store = SnapshotTable(f"{self.base}/phash_bands")
+        done = max(
+            (s["meta"].get("upto_round", -1) for s in store.snapshots()), default=-1
+        )
+        upto = self.next_round - 1
+        new_imgs = (
+            self.images_df()
+            .filter(F.col("round") > done)
+            .select("image_id", "phash")
+        )
+        nb = phash_bands(new_imgs).localCheckpoint()
+        has_old = any(s.get("has_data") for s in store.snapshots())
+        ob = store.read(self.spark) if has_old else nb.limit(0)
+        pairs = incremental_phash_pairs(nb, ob, max_hamming=max_hamming).localCheckpoint()
+        store.append(nb, meta={"upto_round": upto})
+        return pairs

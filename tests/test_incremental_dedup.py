@@ -114,3 +114,47 @@ def test_image_snapshot_store_flow(spark, tmp_path):
     via_store = sorted(map(tuple, S.incremental_phash_pairs(nb, store.read(spark)).collect()))
     pure = sorted(map(tuple, S.incremental_phash_pairs(nb, S.phash_bands(base)).collect()))
     assert via_store == pure and len(via_store) >= 256
+
+
+def test_engine_incremental_dedup_report(spark, tmp_path):
+    """Engine wiring: report after round 2, crawl one more round, report
+    again — the two pair sets are disjoint and their union equals the
+    one-shot phash_near_dup_pairs over ALL landed images; a drained call
+    returns nothing."""
+    from jobscrawler_spark.engine import CrawlEngine
+    from jobscrawler_spark.generators import gen_politeness, gen_robots, gen_seeds
+    from jobscrawler_spark.operators import similarity as S
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "eng"), n_shards=4, default_budget=6, max_depth=1
+    )
+    eng.bootstrap(
+        gen_seeds(n=120, n_hosts=8, seed=11),
+        gen_politeness(8, seed=11),
+        gen_robots(8, seed=11),
+    )
+    # hamming 20: the crawl's organic phash population yields ~90
+    # band-sharing pairs (near-uniform hashes have no pairs at 7, which
+    # would make every assertion below vacuous); both paths apply the
+    # identical share-a-band AND hamming<=h condition, so equality is
+    # still exact
+    eng.run(2)
+    p1 = sorted(map(tuple, eng.incremental_image_dedup_report(max_hamming=20).collect()))
+    eng.run(1)
+    p2 = sorted(map(tuple, eng.incremental_image_dedup_report(max_hamming=20).collect()))
+    assert p1 and p2, "fixture no longer produces pairs — test gone vacuous"
+    assert not (set(p1) & set(p2))
+    one_shot = sorted(
+        map(
+            tuple,
+            S.phash_near_dup_pairs(
+                eng.images_df().select("image_id", "phash"), max_hamming=20
+            ).collect(),
+        )
+    )
+    assert sorted(p1 + p2) == one_shot
+    # p2 must contain CROSS-BATCH pairs (an old image paired with a new
+    # one) — the store join, not just new-batch-internal pairs
+    old_ids = {r["image_id"] for r in eng.images_df().filter("round < 2").collect()}
+    assert any((a in old_ids) != (b in old_ids) for a, b, _ in p2)
+    assert eng.incremental_image_dedup_report(max_hamming=20).count() == 0
