@@ -1,0 +1,123 @@
+"""Persisted IVF index: the SERVING side of the ANN family — build once,
+append embedding batches incrementally, answer top-k probes against a
+partition-pruned inverted-list store.
+
+similarity.ivf_topk recomputes assignment on every call; that is the
+right shape for a one-shot batch query, and exactly the wrong one for
+continuous ingest, where 10^9 embeddings/day arrive and queries run all
+day. This store is the pattern the dedup band stores (dedupe.
+minhash_bands, similarity.phash_bands) use, applied to vectors:
+
+- **build**: train the codebook ONCE (deterministic first-N seed or the
+  Lloyd-refined kmeans_codebook — both bounded driver-side samples),
+  persist it, and write the corpus's home-bucket assignments
+  hive-partitioned by ``centroid_id``.
+- **append**: new batches assign against the FROZEN codebook (map-side:
+  broadcast centroids, one window for the argmax) and append to the same
+  partitioned layout. No historical recompute, no codebook drift —
+  append order cannot change any existing assignment, so
+  store-then-search equals one-shot search (test-pinned).
+- **search**: queries assign to their ``nprobe`` centroids, and the scan
+  reads ONLY those centroids' hive partitions (the filter lands in the
+  scan's PartitionFilters — at 10^10 vectors with 4096 centroids a
+  1-probe query touches ~0.02% of the files). Within the probed lists
+  the exact cosine + top-k window runs as in ivf_topk.
+
+Codebook staleness is the known trade: after heavy drift, rebuild
+(build() again — an overwrite snapshot) and re-appendix; the snapshot
+tables give the atomic cutover for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.tables import SnapshotTable
+from .similarity import _dot, ivf_assign, ivf_centroids, kmeans_codebook
+
+
+class IvfIndexStore:
+    def __init__(self, base_path: str):
+        self.centroids = SnapshotTable(f"{base_path}/centroids")
+        self.assignments = SnapshotTable(f"{base_path}/assignments")
+
+    def build(
+        self,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        n_centroids: int = 8,
+        refine: bool = False,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Train + freeze the codebook, overwrite the assignment store
+        with the corpus's home buckets."""
+        cents = (
+            kmeans_codebook(spark, embeddings, n_centroids, vec_col=vec_col, id_col=id_col)
+            if refine
+            else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+        )
+        self.centroids.overwrite(cents, meta={"n_centroids": n_centroids})
+        assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col)
+        self.assignments.overwrite(
+            assigned.withColumnRenamed(id_col, "vec_id"),
+            meta={"stage": "build"},
+            partition_by="centroid_id",
+        )
+
+    def append(
+        self,
+        spark: SparkSession,
+        new_embeddings: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Assign a new batch against the frozen codebook; append to the
+        partitioned store (no historical recompute)."""
+        cents = self.centroids.read(spark)
+        assigned = ivf_assign(new_embeddings, cents, 1, vec_col, id_col)
+        self.assignments.append(
+            assigned.withColumnRenamed(id_col, "vec_id"),
+            meta={"stage": "append"},
+            partition_by="centroid_id",
+        )
+
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+    ) -> DataFrame:
+        """(query_id, vec_id, sim, rank) — ivf_topk's output shape, served
+        from the store: the inverted-list scan carries an IN-filter on
+        the probed centroid ids, which prunes to those hive partitions."""
+        cents = self.centroids.read(spark)
+        q = queries.select(
+            F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
+        )
+        q_assigned = ivf_assign(q, cents, nprobe, "embedding", "vec_id").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_v").alias("_q"),
+            F.col("_nv").alias("_nq"),
+            "centroid_id",
+        )
+        probed = [
+            r["centroid_id"]
+            for r in q_assigned.select("centroid_id").distinct().collect()
+        ]
+        lists = self.assignments.read(spark).filter(F.col("centroid_id").isin(probed))
+        sims = lists.join(F.broadcast(q_assigned), "centroid_id").select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("_v"), F.col("_q")) / (F.col("_nv") * F.col("_nq")), 4
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "sim", "rank")
+        )
