@@ -1069,7 +1069,36 @@ def q_a_stats(spark, sf):
             F.col("n_orders").alias("n"),
         )
     )
-    return perc.unionByName(roll)
+    # 'histogram' + 'approx_p50' rows (r5): the MERGEABLE sketch path —
+    # fixed-edge bins (16 x 37500 over the o_totalprice range, clamp at
+    # the edges) whose per-partition partials combine by addition, and
+    # the median estimated by linear interpolation inside the target bin
+    # (operators/stats.py). The exact 'percentile' rows above stay as the
+    # report-time truth; these are what a 10^10-row continuously-updated
+    # statistic actually maintains.
+    from jobscrawler_spark.operators.stats import (
+        approx_quantile_from_hist,
+        histogram_sketch,
+    )
+
+    hist = histogram_sketch(o, "o_totalprice", "o_orderpriority")
+    hrows = hist.select(
+        F.lit("histogram").alias("kind"),
+        F.col("group").alias("key1"),
+        F.col("bin").cast("string").alias("key2"),
+        (F.col("bin") * 37500.0).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.col("bin_n").alias("n"),
+    )
+    arows = approx_quantile_from_hist(hist).select(
+        F.lit("approx_p50").alias("kind"),
+        F.col("group").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("approx").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.col("total").alias("n"),
+    )
+    return perc.unionByName(roll).unionByName(hrows).unionByName(arows)
 
 
 def q_j_asof_join(spark, sf):
@@ -2374,6 +2403,35 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+            UNION ALL
+            SELECT 'histogram', key1, CAST(bin AS VARCHAR),
+                   bin * 37500.0, CAST(NULL AS DOUBLE), bin_n
+            FROM (
+              SELECT o_orderpriority AS key1,
+                     GREATEST(0, LEAST(15,
+                       CAST(FLOOR(o_totalprice / 37500.0) AS INT))) AS bin,
+                     count(*) AS bin_n
+              FROM orders GROUP BY 1, 2)
+            UNION ALL
+            SELECT 'approx_p50', key1, CAST(NULL AS VARCHAR),
+                   round(bin * 37500.0
+                         + 37500.0 * (total * 0.5 - (cum - bin_n)) / bin_n, 4),
+                   CAST(NULL AS DOUBLE), CAST(total AS BIGINT)
+            FROM (
+              SELECT key1, bin, bin_n, cum, total,
+                     row_number() OVER (PARTITION BY key1 ORDER BY bin) AS rn
+              FROM (
+                SELECT key1, bin, bin_n,
+                       SUM(bin_n) OVER (PARTITION BY key1 ORDER BY bin) AS cum,
+                       SUM(bin_n) OVER (PARTITION BY key1) AS total
+                FROM (
+                  SELECT o_orderpriority AS key1,
+                         GREATEST(0, LEAST(15,
+                           CAST(FLOOR(o_totalprice / 37500.0) AS INT))) AS bin,
+                         count(*) AS bin_n
+                  FROM orders GROUP BY 1, 2))
+              WHERE cum >= total * 0.5)
+            WHERE rn = 1
         """,
         "decontaminate_ngram": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents),
