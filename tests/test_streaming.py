@@ -151,3 +151,40 @@ def test_streaming_image_curation_matches_batch(spark, tmp_path):
         key=lambda r: r["image_id"],
     )
     assert got == want and len(got) == 80
+
+
+def test_streaming_scene_cuts_match_batch(spark, tmp_path):
+    """R5 video streaming: detect_scene_cuts is a stateless per-clip
+    Arrow map (all state is WITHIN one row's frames), so it runs
+    unchanged on a file-source stream of landed clips — streamed
+    scene/keyframe rows must equal the batch pass exactly. Keyframe
+    extraction keeps up with the crawl instead of re-demuxing the
+    backlog."""
+    from jobscrawler_spark.generators import gen_scene_videos
+    from jobscrawler_spark.operators.multimodal import detect_scene_cuts
+
+    pdf = gen_scene_videos(8)
+    schema = "video_id string, bytes binary, fmt string"
+    src = str(tmp_path / "videos_stream")
+    spark.createDataFrame(pdf.iloc[:4], schema).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[4:], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        detect_scene_cuts(stream)
+        .writeStream.format("memory")
+        .queryName("scenes_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from scenes_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            detect_scene_cuts(spark.createDataFrame(pdf, schema)).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
