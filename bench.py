@@ -93,6 +93,11 @@ SKEW_HOSTS = int(os.environ.get("BENCH_SKEW_HOSTS", "512"))
 DO_DECON = os.environ.get("BENCH_DECON", "1") == "1"
 DECON_DOCS = int(os.environ.get("BENCH_DECON_DOCS", "50000"))
 DECON_BENCH_DOCS = int(os.environ.get("BENCH_DECON_BENCH_DOCS", "200"))
+# incremental vs full image dedup (r5): measure the O(batch) claim — a
+# 1% batch against a persisted band store vs re-banding the full corpus
+DO_INC_DEDUP = os.environ.get("BENCH_INC_DEDUP", "1") == "1"
+INC_DEDUP_CORPUS = int(os.environ.get("BENCH_INC_DEDUP_CORPUS", "500000"))
+INC_DEDUP_BATCH = int(os.environ.get("BENCH_INC_DEDUP_BATCH", "5000"))
 
 # driver memory must be set before the first JVM spins up
 os.environ.setdefault("SPARK_DRIVER_MEM", "60g")
@@ -516,6 +521,105 @@ def run_decon_scale(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_incremental_dedup_scale(spark) -> dict:
+    """Incremental vs full image dedup at store scale (r5).
+
+    The incremental operators' claim is day-N cost O(batch + matching
+    buckets) instead of O(corpus). This measures it: a deterministic
+    INC_DEDUP_CORPUS-phash corpus (numpy PCG seed 42; every 100th image
+    has a 1-bit variant so both paths return real pairs) with its band
+    table prewritten to parquet (the persisted store — built once,
+    untimed here because ingest pays it incrementally), then an
+    INC_DEDUP_BATCH new batch (1%, variants of existing images) deduped
+    two ways, timed:
+
+    - **full**: re-band corpus + batch, full self-join
+      (similarity.phash_near_dup_pairs over the union)
+    - **incremental**: band the batch only, join against the stored
+      band table (similarity.incremental_phash_pairs)
+
+    Correctness cross-check (untimed): the incremental pair set must
+    equal the full run's pairs touching >= 1 batch image.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from jobscrawler_spark.operators.similarity import (
+        incremental_phash_pairs,
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 1 << 63, size=INC_DEDUP_CORPUS, dtype=np.int64)
+    corpus = pd.DataFrame(
+        {"image_id": [f"c{i:07d}" for i in range(INC_DEDUP_CORPUS)], "phash": base}
+    )
+    var_rows = corpus.iloc[::100].copy()
+    var_rows["image_id"] = var_rows["image_id"] + "v"
+    var_rows["phash"] = var_rows["phash"] ^ (1 << (np.arange(len(var_rows)) % 40))
+    corpus = pd.concat([corpus, var_rows], ignore_index=True)
+    # the new batch: 1-bit variants of existing corpus images (the
+    # re-crawled/re-encoded duplicates an ingest batch actually carries)
+    batch = corpus.iloc[7 :: max(1, len(corpus) // INC_DEDUP_BATCH)][
+        : INC_DEDUP_BATCH
+    ].copy()
+    batch["image_id"] = "n" + batch["image_id"]
+    batch["phash"] = batch["phash"] ^ (1 << (np.arange(len(batch)) % 30))
+
+    tmp = tempfile.mkdtemp(prefix="bench_incdedup_")
+    try:
+        cdf = spark.createDataFrame(corpus, "image_id string, phash long")
+        bdf = spark.createDataFrame(batch, "image_id string, phash long")
+        # the persisted store: built once, read per-batch
+        phash_bands(cdf).repartition(CPUS * 2).write.mode("overwrite").parquet(
+            f"{tmp}/bands"
+        )
+        cdf.write.mode("overwrite").parquet(f"{tmp}/corpus")
+        corpus_df = spark.read.parquet(f"{tmp}/corpus")
+        store = spark.read.parquet(f"{tmp}/bands")
+
+        t0 = time.monotonic()
+        inc_pairs = incremental_phash_pairs(phash_bands(bdf), store)
+        n_inc = inc_pairs.count()
+        wall_inc = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        full_pairs = phash_near_dup_pairs(corpus_df.unionByName(bdf))
+        n_full = full_pairs.count()
+        wall_full = round(time.monotonic() - t0, 2)
+
+        # untimed equivalence: incremental == full restricted to the batch
+        batch_ids = bdf.select(F.col("image_id"))
+        touching = (
+            full_pairs.join(
+                batch_ids.withColumnRenamed("image_id", "id_a"), "id_a", "left_semi"
+            )
+            .unionByName(
+                full_pairs.join(
+                    batch_ids.withColumnRenamed("image_id", "id_b"), "id_b", "left_semi"
+                ).select("id_a", "id_b", "hamming")
+            )
+            .distinct()
+            .count()
+        )
+        out = {
+            "corpus": int(len(corpus)),
+            "batch": int(len(batch)),
+            "wall_full_s": wall_full,
+            "wall_incremental_s": wall_inc,
+            "speedup": round(wall_full / max(wall_inc, 1e-9), 1),
+            "pairs_full": int(n_full),
+            "pairs_incremental": int(n_inc),
+            "equiv_ok": bool(touching == n_inc),
+        }
+        log(f"  incremental dedup at store scale: {out}")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ------------------------------------------------------------- estimators
 def mark_contended(samples: list[dict]) -> None:
     """Apply the exclusion RULE in place: a sample is contended when its
@@ -551,6 +655,7 @@ def write_baseline_md(
     all_samples: list[dict] | None = None,
     skew: dict | None = None,
     decon: dict | None = None,
+    inc_dedup: dict | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -727,6 +832,29 @@ def write_baseline_md(
             "— the cap is what keeps the join's per-key fan-out bounded at any",
             "corpus size (SCALING.md \"Training-data operators at 100 TB\").",
         ]
+    if inc_dedup:
+        lines += [
+            "",
+            "## Incremental vs full image dedup at store scale",
+            "",
+            f"{inc_dedup['corpus']} deterministic phashes (seed 42, 1-bit variants "
+            f"planted every 100th image) with the band table persisted once; a "
+            f"{inc_dedup['batch']}-image new batch (1%, re-encoded variants of "
+            "existing images) deduped both ways. The incremental pair set equals",
+            "the full run's pairs touching the batch (checked untimed each run:",
+            f"equiv_ok={inc_dedup['equiv_ok']}).",
+            "",
+            "| corpus | batch | full recompute (s) | incremental (s) | speedup | pairs (full/incremental) |",
+            "|---|---|---|---|---|---|",
+            f"| {inc_dedup['corpus']} | {inc_dedup['batch']} | {inc_dedup['wall_full_s']} "
+            f"| {inc_dedup['wall_incremental_s']} | {inc_dedup['speedup']}x "
+            f"| {inc_dedup['pairs_full']} / {inc_dedup['pairs_incremental']} |",
+            "",
+            "The gap is the point: full recompute re-bands and self-joins the",
+            "whole corpus every day, incremental bands only the batch and",
+            "equi-joins the store — the ratio widens linearly with corpus/batch",
+            "(SCALING.md \"Incremental MinHash dedup\").",
+        ]
     lines += ["", "## Headline query timings (sf0.1, local[%d])" % main_run["cores"], ""]
     lines.append("| query | sec |")
     lines.append("|---|---|")
@@ -886,6 +1014,12 @@ def main() -> None:
         spark = _new_session(CPUS)
         decon = run_decon_scale(spark)
 
+    inc_dedup = None
+    if DO_INC_DEDUP:
+        log(f"== incremental vs full dedup at store scale ({INC_DEDUP_CORPUS} images) ==")
+        spark = _new_session(CPUS)
+        inc_dedup = run_incremental_dedup_scale(spark)
+
     log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
     # fresh session: residue from earlier phases measurably slows crawls
     spark = _new_session(CPUS)
@@ -903,7 +1037,7 @@ def main() -> None:
         ]
     write_baseline_md(
         main_run, pair_runs, queries, scaling, multi_round, all_samples,
-        skew_full if DO_SKEW else None, decon,
+        skew_full if DO_SKEW else None, decon, inc_dedup,
     )
 
     # stdout carries HEADLINE fields only — the driver's tail capture is
@@ -951,6 +1085,7 @@ def main() -> None:
         "multi_round": mr_slim,
         "skew": skew,
         "decon_sf1": decon,
+        "inc_dedup": inc_dedup,
     }
     line = json.dumps(result)
     log(f"stdout JSON line length: {len(line)} chars")

@@ -523,7 +523,9 @@ class CrawlEngine:
             imgs, phash_near_dup_pairs(imgs, max_hamming=max_hamming), "image_id"
         )
 
-    def incremental_image_dedup_report(self, max_hamming: int = 7) -> DataFrame:
+    def incremental_image_dedup_report(
+        self, max_hamming: int = 7, compact_every: int = 8
+    ) -> DataFrame:
         """Near-dup pairs among images landed SINCE the last call, against
         everything landed before — the continuous-ingest alternative to
         image_dedup_report: a persisted band store (phash_bands appended
@@ -552,5 +554,13 @@ class CrawlEngine:
         has_old = any(s.get("has_data") for s in store.snapshots())
         ob = store.read(self.spark) if has_old else nb.limit(0)
         pairs = incremental_phash_pairs(nb, ob, max_hamming=max_hamming).localCheckpoint()
-        store.append(nb, meta={"upto_round": upto})
+        # append-heavy store hygiene (the delta_frontier compaction
+        # argument): every call adds a snapshot whose files read() must
+        # union, so after compact_every appends rewrite the store as ONE
+        # overwrite snapshot. The watermark meta rides on whichever
+        # commit lands.
+        if len(store.snapshots()) + 1 >= compact_every:
+            store.overwrite(ob.unionByName(nb), meta={"upto_round": upto})
+        else:
+            store.append(nb, meta={"upto_round": upto})
         return pairs

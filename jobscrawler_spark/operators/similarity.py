@@ -289,6 +289,7 @@ def incremental_phash_pairs(
     max_hamming: int = 7,
     id_col: str = "image_id",
     phash_col: str = "phash",
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """INCREMENTAL image dedup — the pixel-space mirror of
     dedupe.incremental_minhash_pairs: a crawl batch's banded phashes join
@@ -300,25 +301,44 @@ def incremental_phash_pairs(
     day-N image dedup is O(batch + matching buckets), not O(corpus).
     Pigeonhole recall is unchanged (bands are a property of the hash, not
     the population). Returns (id_a, id_b, hamming), id_a < id_b.
+
+    ``broadcast_new`` (default) is the zero-store-shuffle plan: the
+    batch's bands BROADCAST against the store scan (new x old is a
+    map-side hash join over one pass of the store files — bucket the
+    store on the band key and even that pass partition-prunes), and the
+    new x new pairs come from a separate self-join of the tiny batch
+    side. A batch is small relative to the corpus by definition; for the
+    rare giant backfill batch, pass False to fall back to the
+    shuffle-both-sides equi-join (measured gap:
+    BENCH/BASELINE.md "Incremental vs full image dedup").
     """
-    all_bands = old_bands.unionByName(new_bands)
-    a = new_bands.alias("a")
-    b = all_bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
+
+    def canonical(joined) -> DataFrame:
+        return joined.select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
             F.least(F.col(f"a.{phash_col}"), F.col(f"b.{phash_col}")).alias("_p1"),
             F.greatest(F.col(f"a.{phash_col}"), F.col(f"b.{phash_col}")).alias("_p2"),
         )
-        .distinct()
+
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
     )
+    if broadcast_new:
+        new_old = canonical(
+            F.broadcast(new_bands.alias("a")).join(old_bands.alias("b"), cond)
+        )
+        new_new = canonical(
+            new_bands.alias("a").join(F.broadcast(new_bands.alias("b")), cond)
+        )
+        cand = new_old.unionByName(new_new).distinct()
+    else:
+        all_bands = old_bands.unionByName(new_bands)
+        cand = canonical(
+            new_bands.alias("a").join(all_bands.alias("b"), cond)
+        ).distinct()
     hamming = F.bit_count(F.col("_p1").bitwiseXOR(F.col("_p2"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)

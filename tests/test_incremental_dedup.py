@@ -158,3 +158,14 @@ def test_engine_incremental_dedup_report(spark, tmp_path):
     old_ids = {r["image_id"] for r in eng.images_df().filter("round < 2").collect()}
     assert any((a in old_ids) != (b in old_ids) for a, b, _ in p2)
     assert eng.incremental_image_dedup_report(max_hamming=20).count() == 0
+    # store hygiene: forcing compaction rewrites the band store as one
+    # overwrite snapshot without losing any state — a further report
+    # still returns nothing and the store still holds every image's bands
+    assert eng.incremental_image_dedup_report(max_hamming=20, compact_every=1).count() == 0
+    store = SnapshotTable(f"{eng.base}/phash_bands")
+    assert store.snapshots()[-1]["mode"] == "overwrite"
+    from jobscrawler_spark.operators.similarity import phash_bands
+
+    assert store.read(spark).count() == phash_bands(
+        eng.images_df().select("image_id", "phash")
+    ).count()
