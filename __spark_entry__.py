@@ -983,6 +983,66 @@ def _image_dedup_clusters_oracle() -> str:
         """
 
 
+def _dedup_embedding_cosine_oracle() -> str:
+    """Oracle for the kind-tagged dedup_embedding_cosine (r6): pure SQL
+    recomputes BOTH candidate generators — 'single' (first-4-signs
+    bucket, the r3 oracle) and 'banded' (4 bands x 16 sign bits with the
+    population-64 cap, mirroring dedupe.embedding_sign_bands) — then one
+    shared cosine score + threshold. The raw >= 0.49995 guard matches
+    Spark's round(cosine, 4) >= 0.5 exactly at the boundary."""
+
+    def band_key(i: int, w: int = 16) -> str:
+        return " || ".join(
+            f"(CASE WHEN embedding[{i * w + j + 1}] > 0 THEN '1' ELSE '0' END)"
+            for j in range(w)
+        )
+
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, {band_key(i)} AS band_key FROM embeddings"
+        for i in range(4)
+    )
+    return f"""
+            WITH sbuck AS (
+              SELECT vec_id,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings),
+            spairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sbuck a JOIN sbuck b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            bands AS (
+              {band_selects}),
+            bcount AS (
+              SELECT band, band_key, count(*) AS df
+              FROM bands GROUP BY band, band_key),
+            kept AS (
+              SELECT b.* FROM bands b JOIN bcount c USING (band, band_key)
+              WHERE c.df <= 64),
+            bpairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.vec_id < b.vec_id),
+            allp AS (
+              SELECT 'single' AS kind, vec_a, vec_b FROM spairs
+              UNION ALL
+              SELECT 'banded' AS kind, vec_a, vec_b FROM bpairs),
+            scored AS (
+              SELECT kind, vec_a, vec_b,
+                     list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS c
+              FROM allp
+              JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b)
+            SELECT kind, vec_a, vec_b, round(c, 4) AS cosine
+            FROM scored WHERE c >= 0.49995
+        """
+
+
 def q_j4_positional_join(spark, sf):
     """J4: positional explode (zip semantics) — (doc_id, pos, token)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
@@ -1379,9 +1439,20 @@ def _queries_df(spark, sf):
 
 
 def q_dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    """Embedding-cosine near-dup pairs, kind-tagged (merged r6): the
+    legacy single-bucket sign-LSH path ('single', first-4-signs bucket)
+    UNION the scale path ('banded', 4 bands x 16 sign bits with the
+    population cap — dedupe.embedding_cosine_pairs default; VERDICT r5
+    #3). Same pair semantics, different candidate generators — the
+    banded kind is the one that survives 10^10 vectors."""
     e = _t(spark, sf, "embeddings")
-    return D.embedding_cosine_pairs(e, threshold=0.5, n_bits=4)
+    single = D.embedding_cosine_pairs(e, threshold=0.5, n_bits=4).select(
+        F.lit("single").alias("kind"), "vec_a", "vec_b", "cosine"
+    )
+    banded = D.embedding_cosine_pairs(
+        e, threshold=0.5, n_bands=4, band_bits=16, band_pop_cap=64
+    ).select(F.lit("banded").alias("kind"), "vec_a", "vec_b", "cosine")
+    return single.unionByName(banded)
 
 
 def q_j_shuffle_join(spark, sf):
@@ -2571,23 +2642,7 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.4
         """,
-        "dedup_embedding_cosine": """
-            WITH b AS (
-              SELECT vec_id, embedding,
-                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-              FROM embeddings)
-            SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
-                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[]))
-                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                            * sqrt(list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])))), 4) AS cosine
-            FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[]))
-                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                     * sqrt(list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])))) >= 0.49995
-        """,
+        "dedup_embedding_cosine": _dedup_embedding_cosine_oracle(),
         "j_asof_join": """
             WITH p AS (
               SELECT user_id, ts, max_by(value, event_id) AS p_value

@@ -512,16 +512,19 @@ class CrawlEngine:
         survivor labeling. (image_id, component, n_members, is_survivor);
         downstream corpus builds keep is_survivor rows (the reference's
         ON CONFLICT exact-key image dedupe, src/crawler.py:199-219,
-        upgraded to near-duplicate clusters). Plan: one banded self-join
-        + O(log d) pointer-doubling rounds + two uniform-key joins —
-        never all-pairs (SCALING.md "Training-data operators")."""
+        upgraded to near-duplicate clusters). Plan: EXACT-FIRST —
+        identical phashes collapse to one representative before the
+        banded self-join runs over distinct values (phash_dup_graph, so
+        a million re-hosts of one logo are a million star edges, never
+        ~10^12 enumerated pairs), then O(log d) pointer-doubling rounds
+        + two uniform-key joins — never all-pairs (SCALING.md
+        "Training-data operators")."""
         from .operators.components import label_clusters
-        from .operators.similarity import phash_near_dup_pairs
+        from .operators.similarity import phash_dup_graph
 
         imgs = self.images_df().select("image_id", "phash")
-        return label_clusters(
-            imgs, phash_near_dup_pairs(imgs, max_hamming=max_hamming), "image_id"
-        )
+        edges, _deg = phash_dup_graph(imgs, max_hamming=max_hamming)
+        return label_clusters(imgs, edges, "image_id")
 
     def incremental_image_dedup_report(
         self, max_hamming: int = 7, compact_every: int = 8
@@ -556,11 +559,16 @@ class CrawlEngine:
         pairs = incremental_phash_pairs(nb, ob, max_hamming=max_hamming).localCheckpoint()
         # append-heavy store hygiene (the delta_frontier compaction
         # argument): every call adds a snapshot whose files read() must
-        # union, so after compact_every appends rewrite the store as ONE
-        # overwrite snapshot. The watermark meta rides on whichever
-        # commit lands.
-        if len(store.snapshots()) + 1 >= compact_every:
-            store.overwrite(ob.unionByName(nb), meta={"upto_round": upto})
+        # union, so after compact_every LIVE appends rewrite the store as
+        # ONE overwrite snapshot. Count only snapshots reachable since the
+        # last overwrite (_snaps_at), not the whole manifest — otherwise
+        # once total commits ever reach compact_every every later call
+        # would be an O(corpus) rewrite (ADVICE r5). After compacting,
+        # expire the superseded dirs so disk stays O(store), not
+        # O(store x compactions).
+        if len(store._snaps_at(None)) + 1 >= compact_every:
+            sid = store.overwrite(ob.unionByName(nb), meta={"upto_round": upto})
+            store.expire_before(sid)
         else:
             store.append(nb, meta={"upto_round": upto})
         return pairs

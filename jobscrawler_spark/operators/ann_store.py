@@ -97,11 +97,19 @@ class IvfIndexStore:
         q = queries.select(
             F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
         )
-        q_assigned = ivf_assign(q, cents, nprobe, "embedding", "vec_id").select(
-            F.col("vec_id").alias("query_id"),
-            F.col("_v").alias("_q"),
-            F.col("_nv").alias("_nq"),
-            "centroid_id",
+        q_assigned = (
+            ivf_assign(q, cents, nprobe, "embedding", "vec_id")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("_v").alias("_q"),
+                F.col("_nv").alias("_nq"),
+                "centroid_id",
+            )
+            # pin the assignment before the driver-side distinct-centroid
+            # collect: without this the collect runs the full assignment
+            # job AND the broadcast join below re-executes the same
+            # lineage — double query-side work per search (ADVICE r5)
+            .localCheckpoint()
         )
         probed = [
             r["centroid_id"]

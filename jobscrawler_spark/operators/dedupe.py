@@ -215,11 +215,18 @@ def incremental_minhash_pairs(
     """INCREMENTAL dedup — the continuous-ingest pattern: candidate pairs
     touching at least one NEW document, computed by joining the new
     batch's band table against the persisted store's, never recomputing
-    historical signatures. Feeding each crawl batch through this and
-    appending its bands to the store yields, over time, EXACTLY the
-    one-shot full-corpus pair set (each pair surfaces when its later
-    member arrives — pinned in tests/test_incremental_dedup.py), so
-    day-N dedup cost is O(batch + matching buckets), not O(corpus).
+    historical signatures. With ``band_df_cap=None`` (the gated/tested
+    configuration), feeding each crawl batch through this and appending
+    its bands to the store yields, over time, EXACTLY the one-shot
+    full-corpus pair set (each pair surfaces when its later member
+    arrives — pinned in tests/test_incremental_dedup.py), so day-N dedup
+    cost is O(batch + matching buckets), not O(corpus). With a cap set,
+    the exactness claim does NOT hold: a bucket that crosses the cap
+    only after batch N suppresses pairs the earlier batches already
+    emitted (emitted pairs are never retracted), so the union of capped
+    incremental runs is a SUPERSET of the capped one-shot set — still a
+    subset of the uncapped one-shot set, which is what the cap's
+    precision contract needs.
 
     ``new_bands`` / ``old_bands`` are minhash_bands outputs (the store
     is a SnapshotTable of them; at scale, written bucketed on band_key
@@ -274,20 +281,75 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def embedding_sign_bands(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, band, band_key): multi-band sign-LSH table over an embedding
+    column — band ``i``'s key is the sign bit-string of components
+    [i*band_bits, (i+1)*band_bits). The vector-space mirror of
+    minhash_bands/phash_bands: 2^band_bits key values per band keep
+    bucket populations ~n/2^band_bits under uniform signs, and multiple
+    bands restore the recall a single wide bucket loses (a near-dup pair
+    only needs to agree on ALL signs of ONE band)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat(
+                    *[
+                        F.when(
+                            F.element_at(F.col(vec_col), i * band_bits + j + 1) > 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for j in range(band_bits)
+                    ]
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return embeddings.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band", "b.band_key"
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_bits: int = 4,
+    n_bits: int | None = None,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    band_pop_cap: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
 
-    Candidates are enumerated within sign-LSH buckets (first n_bits
-    component signs) — a vector pair with cosine >= 0.9 almost surely
-    agrees on leading-component signs, and the bucket join keeps the
-    self-join O(sum bucket^2) instead of O(n^2). Similarities in DOUBLE,
-    rounded before thresholding so both engines agree.
+    DEFAULT (``n_bits=None``) is the scale path (VERDICT r5 #3):
+    candidates share at least one of ``n_bands`` sign-LSH bands of
+    ``band_bits`` component signs each (embedding_sign_bands). Per-band
+    buckets carry 2^band_bits (default 65,536) key values — the
+    bucket-count-vs-corpus-size rule: the within-bucket self-join is
+    ~n_bands * n^2 / 2^band_bits, so band_bits must grow with log2(n)
+    (16 bits holds populations to ~n/65k; at 10^10 vectors use ~24-bit
+    bands or add ``band_pop_cap``). Multi-band keeps recall where one
+    wide bucket loses it: a true near-dup (cosine >= 0.95) agrees on a
+    16-sign band with good probability and only needs ONE of the four.
+    ``band_pop_cap`` drops bucket populations above the cap before the
+    join — the band_df_cap escape for sign-clustered boilerplate
+    (zero-vectors, templated embeddings), which otherwise pairs
+    quadratically inside one bucket.
+
+    ``n_bits`` set = the legacy single-bucket path (first n_bits signs,
+    one bucket per vector) — kept for the gate's 'single' kind and for
+    corpora small enough that one coarse bucket is cheaper.
+
+    Similarities in DOUBLE, rounded before thresholding so both engines
+    agree.
     """
     from .similarity import _dot, _norm, sign_bucket
 
@@ -295,19 +357,58 @@ def embedding_cosine_pairs(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    a = base.select(
-        F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "bucket"
+    if n_bits is not None:
+        bucketed = base.withColumn("bucket", sign_bucket(F.col("_v"), n_bits))
+        a = bucketed.select(
+            F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "bucket",
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "bucket",
+        )
+        cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        return (
+            cand.withColumn(
+                "cosine",
+                F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
+    bands = _cap_bands(
+        embedding_sign_bands(embeddings, n_bands, band_bits, vec_col, id_col),
+        band_pop_cap,
     )
-    b = base.select(
-        F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "bucket"
+    pairs = (
+        bands.select(F.col(id_col).alias("vec_a"), "band", "band_key")
+        .join(
+            bands.select(F.col(id_col).alias("vec_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pairs.join(
+            base.select(
+                F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            base.select(
+                F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "vec_b",
+        )
         .withColumn(
-            "cosine", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4)
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -478,31 +579,32 @@ def crossmodal_dup_clusters(
     ``n_px_edges`` / ``n_cap_edges`` (how many near-dup partners each
     signal contributed), so a curator can see WHY an image was clustered.
 
-    Scale shape at 10^10 images: pixel edges come from the banded Hamming
-    LSH (one uniform 8-bit-band-key shuffle, pigeonhole-complete for
-    ``max_hamming <= n_bands - 1``); caption edges from the MinHash band
-    join with ``band_df_cap`` dropping boilerplate-caption buckets ("stock
-    photo" alt-text shared by millions of images would otherwise pair
-    quadratically — capped buckets contribute nothing, exact-dup
-    boilerplate belongs to the exact family). Components is pointer
-    doubling (O(log d) rounds); the degree counts are two more uniform-key
-    aggs. No step is ever all-pairs.
+    Scale shape at 10^10 images: pixel edges come from the EXACT-FIRST
+    graph (similarity.phash_dup_graph — identical phashes collapse to a
+    multiplicity count + one representative BEFORE the banded Hamming
+    LSH, so one logo re-hosted 10^6 times contributes 10^6 - 1 star
+    edges, never ~10^12 enumerated pairs; the LSH self-join runs over
+    DISTINCT phash values only, pigeonhole-complete for ``max_hamming <=
+    n_bands - 1``); caption edges from the MinHash band join with
+    ``band_df_cap`` dropping boilerplate-caption buckets ("stock photo"
+    alt-text shared by millions of images would otherwise pair
+    quadratically). Components is pointer doubling (O(log d) rounds);
+    pixel degrees come from multiplicities (no pair enumeration), caption
+    degrees from one uniform-key agg. No step is ever all-pairs — on
+    EITHER modality's boilerplate (VERDICT r5 #2).
     """
     from .components import label_clusters
-    from .similarity import phash_near_dup_pairs
+    from .similarity import phash_dup_graph
 
-    # both pair sets are consumed TWICE (component edges + degree counts):
-    # localCheckpoint materializes each LSH chain once instead of re-running
-    # the band self-joins per consumer (the same lineage-truncation tool
-    # connected_components already uses; pairs storage is O(edges), already
-    # paid inside CC for the symmetrized copy)
-    px = (
-        phash_near_dup_pairs(
-            images, max_hamming=max_hamming, id_col=id_col, phash_col=phash_col
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
+    # the caption pair set is consumed TWICE (component edges + degree
+    # counts): localCheckpoint materializes the LSH chain once instead of
+    # re-running the band self-joins per consumer (the same
+    # lineage-truncation tool connected_components already uses); the
+    # pixel side checkpoints its shared stages inside phash_dup_graph
+    px_edges, px_deg = phash_dup_graph(
+        images, max_hamming=max_hamming, id_col=id_col, phash_col=phash_col
     )
+    px_edges = px_edges.localCheckpoint()
     cap = (
         minhash_lsh_pairs(
             images.select(
@@ -516,7 +618,7 @@ def crossmodal_dup_clusters(
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         .localCheckpoint()
     )
-    edges = px.unionByName(cap).distinct()
+    edges = px_edges.unionByName(cap).distinct()
     labeled = label_clusters(images, edges, id_col)
 
     def _degree(pairs: DataFrame, name: str) -> DataFrame:
@@ -526,7 +628,7 @@ def crossmodal_dup_clusters(
         return ends.groupBy(id_col).agg(F.count("*").cast("int").alias(name))
 
     return (
-        labeled.join(_degree(px, "__px"), id_col, "left")
+        labeled.join(px_deg.withColumnRenamed("n_px_edges", "__px"), id_col, "left")
         .join(_degree(cap, "__cap"), id_col, "left")
         .select(
             id_col,

@@ -98,15 +98,59 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
     )
 
 
+# literal-codebook ceiling: n_centroids * dim float literals ride the plan
+# (the quality_model weights-as-literal pattern, a few KB..MB). Above this
+# the Catalyst expression tree gets unwieldy and the broadcast-join path
+# is the right trade (one Exchange on the assignment window).
+_LITERAL_CODEBOOK_MAX_CELLS = 262_144
+
+
 def ivf_assign(vectors: DataFrame, cents: DataFrame, nprobe: int = 1,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Assign each vector to its ``nprobe`` argmax-cosine centroids (ties ->
     lowest centroid id). Returns (id, _v, _nv, centroid_id), one row per
     probed centroid; data vectors use nprobe=1, query-side multi-probe
-    trades scan fraction for recall."""
+    trades scan fraction for recall.
+
+    MAP-SIDE by default: the codebook is collected driver-side (bounded
+    by n_centroids — the same bounded read that trained it) and rides the
+    plan as an array-of-structs literal; per row, a transform scores every
+    centroid, array_sort on (-sim, centroid_id) orders them (desc sim,
+    ties -> lowest id — exactly the old window's order), slice takes the
+    nprobe head, explode emits the probe rows. No join, no window, no
+    Exchange — ann_store's build/append ingest is genuinely shuffle-free
+    (plan-pinned in tests/test_ann_store.py). Codebooks past
+    _LITERAL_CODEBOOK_MAX_CELLS fall back to the broadcast-join + window
+    path (identical results: same rounding, same tie rule)."""
     base = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
     )
+    rows = sorted(
+        cents.select("centroid_id", "_c", "_nc").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if rows and len(rows) * len(rows[0]["_c"]) <= _LITERAL_CODEBOOK_MAX_CELLS:
+        cb = F.array(*[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["_c"]]).alias("c"),
+                F.lit(float(r["_nc"])).alias("nc"),
+            )
+            for r in rows
+        ])
+        scored = F.transform(
+            cb,
+            lambda c: F.struct(
+                (-F.round(_dot(F.col("_v"), c["c"]) / (F.col("_nv") * c["nc"]), 6)
+                 ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        probes = F.slice(F.array_sort(scored), 1, nprobe)
+        return (
+            base.withColumn("_probe", F.explode(probes))
+            .select(id_col, "_v", "_nv", F.col("_probe.cid").alias("centroid_id"))
+        )
     scored = base.crossJoin(F.broadcast(cents)).select(
         id_col,
         "_v",
@@ -281,6 +325,94 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def phash_dup_graph(
+    images: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT-FIRST pixel dedup graph (VERDICT r5 #2) — the scale-safe
+    consumer face of phash_near_dup_pairs, lifting scene_dup_stats'
+    distinct-phash-representative pattern into the cluster builders.
+
+    A real crawl corpus's dominant duplicate mode is ONE bit-identical
+    image (logo, tracking pixel, stock photo) re-hosted 10^6 times: a
+    naive banded LSH puts all copies in the same bucket in ALL bands and
+    enumerates ~10^12 pairs. Here identical phashes collapse FIRST
+    (groupBy phash -> multiplicity + min-id representative; one uniform
+    64-bit-key shuffle, zero pair enumeration), and the banded Hamming
+    LSH runs only over DISTINCT phash values. Pigeonhole recall is
+    unchanged (bands are a property of the hash value).
+
+    Returns ``(edges, degrees)``:
+
+    - ``edges`` — (id_a, id_b): a connectivity-EQUIVALENT subset of the
+      full near-dup pair set — each exact-dup group as a rep->member
+      star (m-1 edges instead of m(m-1)/2), each near value pair as one
+      rep-rep edge. Feeding these to connected components yields
+      IDENTICAL components to the full pair set (a group is a clique in
+      the full graph; near groups are complete bipartite), pinned in
+      tests/test_dedupe.py.
+    - ``degrees`` — (id, n_px_edges): each image's TRUE near-dup partner
+      count, from multiplicities: (m(own phash) - 1) + sum of m(q) over
+      near values q. Identical to counting phash_near_dup_pairs
+      endpoints, without enumerating them.
+    """
+    stats = (
+        images.groupBy(phash_col)
+        .agg(F.count("*").alias("_m"), F.min(id_col).alias("_rep"))
+        .localCheckpoint()  # consumed by star edges, rep mapping, degrees
+    )
+    rep_pairs = (
+        phash_near_dup_pairs(
+            stats.select(F.col(phash_col).alias("pid"), F.col(phash_col).alias("ph")),
+            max_hamming=max_hamming,
+            id_col="pid",
+            phash_col="ph",
+            n_bands=n_bands,
+        )
+        .select(F.col("id_a").alias("_pa"), F.col("id_b").alias("_pb"))
+        .localCheckpoint()  # consumed by near edges AND near-mass degrees
+    )
+    star = (
+        images.join(stats.select(phash_col, "_rep"), phash_col)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    rep_map_a = stats.select(F.col(phash_col).alias("_pa"), F.col("_rep").alias("_ra"))
+    rep_map_b = stats.select(F.col(phash_col).alias("_pb"), F.col("_rep").alias("_rb"))
+    near_edges = (
+        rep_pairs.join(rep_map_a, "_pa")
+        .join(rep_map_b, "_pb")
+        .select(
+            F.least("_ra", "_rb").alias("id_a"),
+            F.greatest("_ra", "_rb").alias("id_b"),
+        )
+    )
+    edges = star.unionByName(near_edges)
+
+    sym = rep_pairs.select(
+        F.col("_pa").alias("_p"), F.col("_pb").alias("_q")
+    ).unionAll(rep_pairs.select(F.col("_pb").alias("_p"), F.col("_pa").alias("_q")))
+    near_mass = (
+        sym.join(
+            stats.select(F.col(phash_col).alias("_q"), F.col("_m").alias("_mq")), "_q"
+        )
+        .groupBy("_p")
+        .agg(F.sum("_mq").alias("_near"))
+        .withColumnRenamed("_p", phash_col)
+    )
+    per_hash = stats.join(near_mass, phash_col, "left").select(
+        phash_col,
+        ((F.col("_m") - 1) + F.coalesce("_near", F.lit(0)))
+        .cast("int")
+        .alias("n_px_edges"),
+    )
+    degrees = images.join(per_hash, phash_col).select(id_col, "n_px_edges")
+    return edges, degrees
 
 
 def incremental_phash_pairs(

@@ -62,6 +62,27 @@ def test_search_scan_prunes_to_probed_partitions(spark, embs, queries, tmp_path)
     assert df.count() == 5
 
 
+def test_assign_is_map_side(spark, embs):
+    """The build/append ingest claim (ADVICE r5 / VERDICT r5 #4): for a
+    literal-sized codebook, ivf_assign's plan has NO Exchange, no window,
+    no join — assignment is a pure map over the codebook literal — and
+    its output is row-identical to the broadcast-join + window fallback."""
+    cents = SIM.ivf_centroids(embs, 8)
+    for nprobe in (1, 2):
+        assigned = SIM.ivf_assign(embs, cents, nprobe)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        for node in ("Exchange", "Window", "Join"):
+            assert node not in plan, (nprobe, node, plan)
+        fast = _res(assigned.drop("_v", "_nv"))
+        orig = SIM._LITERAL_CODEBOOK_MAX_CELLS
+        try:
+            SIM._LITERAL_CODEBOOK_MAX_CELLS = 0
+            slow = _res(SIM.ivf_assign(embs, cents, nprobe).drop("_v", "_nv"))
+        finally:
+            SIM._LITERAL_CODEBOOK_MAX_CELLS = orig
+        assert fast == slow, nprobe
+
+
 def test_append_order_invariant(spark, embs, queries, tmp_path):
     a = IvfIndexStore(str(tmp_path / "ivf_a"))
     b = IvfIndexStore(str(tmp_path / "ivf_b"))

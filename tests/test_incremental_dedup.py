@@ -169,3 +169,15 @@ def test_engine_incremental_dedup_report(spark, tmp_path):
     assert store.read(spark).count() == phash_bands(
         eng.images_df().select("image_id", "phash")
     ).count()
+    # ADVICE r5: the compaction trigger counts only LIVE snapshots and
+    # expires superseded dirs — after the overwrite the manifest holds
+    # exactly one snapshot, the old dirs are gone from disk, and the next
+    # call at the default cadence APPENDS (no perpetual O(corpus)
+    # rewrite once total commits ever crossed compact_every)
+    import os
+
+    assert len(store.snapshots()) == 1
+    on_disk = sorted(d for d in os.listdir(store.path) if d.startswith("snap-"))
+    assert on_disk == [store.snapshots()[0]["dir"]]
+    assert eng.incremental_image_dedup_report(max_hamming=20, compact_every=8).count() == 0
+    assert store.snapshots()[-1]["mode"] == "append"
