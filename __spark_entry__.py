@@ -1484,7 +1484,25 @@ def q_ann_topk(spark, sf):
     ivf = SIM.ivf_topk(e, q, k=5, n_centroids=8, nprobe=2).select(
         F.lit("ivf").alias("method"), "query_id", "vec_id", "sim", "rank"
     )
-    return brute.unionByName(ivf)
+    # 'store' kind (merged r6, VERDICT r5 #8): the SERVING path — a
+    # persisted IvfIndexStore built on the same corpus, searched with the
+    # same queries/nprobe. Store-served == one-shot ivf_topk by
+    # construction (frozen codebook, append-order-invariant assignments;
+    # pinned in test_ann_store), so the oracle re-states the ivf SQL with
+    # method='store' — and the driver now records the serving path.
+    from jobscrawler_spark.operators.ann_store import IvfIndexStore
+
+    base = tempfile.mkdtemp(prefix="q_ann_store_")
+    try:
+        store = IvfIndexStore(base)
+        store.build(spark, e, n_centroids=8)
+        served = store.search(spark, q, k=5, nprobe=2).select(
+            F.lit("store").alias("method"), "query_id", "vec_id", "sim", "rank"
+        )
+        out = brute.unionByName(ivf).unionByName(served)
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_ann_ivf_kmeans(spark, sf):
@@ -2752,6 +2770,14 @@ def _oracle_sql_static() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM bsims) WHERE rank <= 5
+            UNION ALL
+            -- 'store' kind: the persisted-IVF serving path is frozen-codebook
+            -- + append-order-invariant, so store-served == one-shot ivf_topk
+            -- (test_ann_store) and the oracle is the ivf SQL re-labeled
+            SELECT 'store' AS method, query_id, vec_id, sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+              FROM isims) WHERE rank <= 5
         """,
         "dedup_repeated_spans": f"""
             WITH d AS (

@@ -60,6 +60,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 DO_MULTIROUND = os.environ.get("BENCH_MULTIROUND", "1") == "1"
 N_SEEDS = int(os.environ.get("BENCH_SEEDS", "300000"))
+# main-crawl samples: r5's best-of-2 without probes could not distinguish
+# host contention from an engine regression (VERDICT r5 #1) — every main
+# sample is now probe-bracketed and recorded, best-of-N is the headline
+MAIN_REPEATS = int(os.environ.get("BENCH_MAIN_REPEATS", "3"))
 N_HOSTS = int(os.environ.get("BENCH_HOSTS", "4096"))
 N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "1"))
 BUDGET = int(os.environ.get("BENCH_BUDGET", "128"))
@@ -736,6 +740,26 @@ def write_baseline_md(
             "3x on identical 32-core runs — host contention; raw disk swings",
             "286-548 MB/s). The probe columns above attribute it per sample.",
         ]
+    if main_run.get("samples"):
+        lines += [
+            "",
+            f"### Main-crawl samples (local[{main_run['cores']}], best of "
+            f"{len(main_run['samples'])} is the headline row above)",
+            "",
+            "Every sample probe-bracketed with the same contended-by-rule",
+            "columns as the scaling table (r5's best-of-2-without-probes could",
+            "not distinguish host contention from an engine regression —",
+            "VERDICT r5 #1; a contended best-of-N is still a LOWER bound on",
+            "the uncontended machine):",
+            "",
+            "| # | URLs/s | probe cpu (s) | probe disk (s) | contended | phases |",
+            "|---|---|---|---|---|---|",
+        ]
+        for i, s in enumerate(main_run["samples"]):
+            lines.append(
+                f"| {i} | {s['urls_per_sec']} | {s['probe_cpu']} "
+                f"| {s['probe_disk']} | {'X' if s['contended'] else ''} | {s.get('phases')} |"
+            )
     if multi_round:
         lines += [
             "",
@@ -1020,12 +1044,33 @@ def main() -> None:
         spark = _new_session(CPUS)
         inc_dedup = run_incremental_dedup_scale(spark)
 
-    log(f"== crawl throughput on local[{CPUS}] (best of 2) ==")
+    log(f"== crawl throughput on local[{CPUS}] (best of {MAIN_REPEATS}, probe-attributed) ==")
     # fresh session: residue from earlier phases measurably slows crawls
     spark = _new_session(CPUS)
-    main_run = max(
-        (run_crawl(spark, CPUS) for _ in range(2)), key=lambda a: a["urls_per_sec"]
-    )
+    main_samples = [
+        run_crawl(spark, CPUS, with_probes=True) for _ in range(MAIN_REPEATS)
+    ]
+    # contended-by-rule against the SESSION min (scaling probes included
+    # when available): contention only ever slows a run, so best-of-N is
+    # the headline and the flags attribute every slow sample (r5's record
+    # could not — VERDICT r5 #1)
+    ref = (all_samples + main_samples) if all_samples else main_samples
+    min_cpu = min(s["probe_cpu"] for s in ref)
+    min_disk = min(s["probe_disk"] for s in ref)
+    for s in main_samples:
+        s["contended"] = bool(
+            s["probe_cpu"] > PROBE_CPU_SLACK * min_cpu
+            or s["probe_disk"] > PROBE_DISK_SLACK * min_disk
+        )
+    main_run = max(main_samples, key=lambda a: a["urls_per_sec"])
+    main_run["samples"] = [
+        {
+            k: s.get(k)
+            for k in ("urls_per_sec", "probe_cpu", "probe_disk", "contended", "phases")
+        }
+        for s in main_samples
+    ]
+    main_run["n_contended"] = sum(1 for s in main_samples if s["contended"])
     log(f"  best: {main_run}")
 
     total = round(time.monotonic() - t_start, 2)
@@ -1044,7 +1089,18 @@ def main() -> None:
     # ~2000 chars and r3's full line (per-sample records + method prose)
     # outgrew it, losing the machine-readable record. The dropped detail
     # (samples, method, raw ceiling, per-round walls) is in BENCH/BASELINE.md.
-    main_slim = {k: v for k, v in main_run.items() if k not in ("phases", "round_walls", "round_urls")}
+    main_slim = {
+        k: v
+        for k, v in main_run.items()
+        if k not in ("phases", "round_walls", "round_urls", "samples")
+    }
+    main_slim["fetch_agg_s"] = (main_run.get("phases") or {}).get("fetch+agg")
+    # compact per-sample evidence for the stdout line (full phase dicts
+    # stay in BENCH/BASELINE.md): [urls_per_sec, probe_cpu, probe_disk, contended]
+    main_slim["samples"] = [
+        [s["urls_per_sec"], s["probe_cpu"], s["probe_disk"], int(s["contended"])]
+        for s in main_run.get("samples", [])
+    ]
     scaling_slim = None
     if scaling:
         scaling_slim = {
