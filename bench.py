@@ -739,6 +739,11 @@ def write_baseline_md(
             "Run-to-run variance on this shared VM is large (observed up to",
             "3x on identical 32-core runs — host contention; raw disk swings",
             "286-548 MB/s). The probe columns above attribute it per sample.",
+            "Absolute URLs/s rows must NOT be compared across rounds without",
+            "their probe columns: an interleaved same-window A/B of the r4",
+            "and r6 engines (BENCH/ATTRIBUTION_r06.md) showed identical code",
+            "walls and attributed the r04->r05 headline drop entirely to",
+            "host contention.",
         ]
     if main_run.get("samples"):
         lines += [
