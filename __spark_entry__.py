@@ -546,26 +546,23 @@ def _oracle_sf_dir() -> str:
     )
 
 
-def _ivf_kmeans_oracle(sf_dir: str) -> str:
-    """Oracle for ann_ivf_kmeans: the Lloyd codebook is DETERMINISTIC
-    (normalize -> init first-8 -> 10 iterations of round-6 cosine argmax /
-    einsum mean / renormalize / round-6 — the contract documented in
-    operators/similarity.py:kmeans_codebook), so an independent numpy
-    recompute here reads the ORACLE-SCALE embeddings parquet directly
-    (the driver runs oracles at sf0.01; see _oracle_sf_dir) and inlines
-    the centroids as a VALUES table; assignment + top-k are pure SQL like
-    the former ann_ivf_topk oracle.
-    """
+def _kmeans_cent_values(sf_dir: str, n_centroids: int = 8, iters: int = 10,
+                        sample_n: int = 2048) -> str:
+    """Independent numpy recompute of the Lloyd codebook (the contract
+    documented in operators/similarity.py:kmeans_codebook: normalize ->
+    init first-N -> round-6 cosine argmax / einsum mean / renormalize /
+    round-6 per iteration) over the oracle-scale embeddings parquet,
+    rendered as a VALUES row list — shared by the ann_ivf_kmeans and
+    dedup_embedding_cosine ('semantic' kinds) oracles."""
     import numpy as np
     import duckdb as _ddb
 
     con = _ddb.connect()
     pdf = con.execute(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        "ORDER BY vec_id LIMIT 2048"
+        f"ORDER BY vec_id LIMIT {sample_n}"
     ).fetchdf()
     con.close()
-    n_centroids, iters = 8, 10
     V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     C = Vn[:n_centroids].copy()
@@ -580,9 +577,20 @@ def _ivf_kmeans_oracle(sf_dir: str) -> str:
         )
         C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         C = np.round(C, 6)
-    cent_rows = ",\n              ".join(
+    return ",\n              ".join(
         f"({j}, [{', '.join(repr(float(x)) for x in C[j])}])" for j in range(n_centroids)
     )
+
+
+def _ivf_kmeans_oracle(sf_dir: str) -> str:
+    """Oracle for ann_ivf_kmeans: the Lloyd codebook is DETERMINISTIC, so
+    an independent numpy recompute (_kmeans_cent_values) reads the
+    ORACLE-SCALE embeddings parquet directly (the driver runs oracles at
+    sf0.01; see _oracle_sf_dir) and inlines the centroids as a VALUES
+    table; assignment + top-k are pure SQL like the former ann_ivf_topk
+    oracle.
+    """
+    cent_rows = _kmeans_cent_values(sf_dir)
     return f"""
             WITH cents(centroid_id, c) AS (VALUES
               {cent_rows}),
@@ -983,13 +991,19 @@ def _image_dedup_clusters_oracle() -> str:
         """
 
 
-def _dedup_embedding_cosine_oracle() -> str:
+def _dedup_embedding_cosine_oracle(sf_dir: str) -> str:
     """Oracle for the kind-tagged dedup_embedding_cosine (r6): pure SQL
-    recomputes BOTH candidate generators — 'single' (first-4-signs
-    bucket, the r3 oracle) and 'banded' (4 bands x 16 sign bits with the
-    population-64 cap, mirroring dedupe.embedding_sign_bands) — then one
-    shared cosine score + threshold. The raw >= 0.49995 guard matches
-    Spark's round(cosine, 4) >= 0.5 exactly at the boundary."""
+    recomputes ALL FOUR candidate generators — 'single' (first-4-signs
+    bucket, the r3 oracle), 'banded' (4 bands x 16 sign bits with the
+    population-64 cap, mirroring dedupe.embedding_sign_bands), and the
+    SemDeDup kinds 'semantic'/'semantic_drop' (centroids independently
+    recomputed by _kmeans_cent_values and inlined as VALUES; assignment =
+    round-6 argmax with lowest-centroid ties; exact-first min-id
+    representatives via GROUP BY the embedding list; components via the
+    recursive min-reachable-label CTE; survivor = row_number over
+    (cc6 DESC, vec_id)). The raw >= 0.49995 guard matches Spark's
+    round(cosine, 4) >= 0.5 exactly at the boundary."""
+    cent_rows = _kmeans_cent_values(sf_dir)
 
     def band_key(i: int, w: int = 16) -> str:
         return " || ".join(
@@ -1001,8 +1015,15 @@ def _dedup_embedding_cosine_oracle() -> str:
         f"SELECT vec_id, {i} AS band, {band_key(i)} AS band_key FROM embeddings"
         for i in range(4)
     )
+    def cos(av: str, bv: str) -> str:
+        return (
+            f"list_dot_product(CAST({av} AS DOUBLE[]), CAST({bv} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({av} AS DOUBLE[]), CAST({av} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({bv} AS DOUBLE[]), CAST({bv} AS DOUBLE[]))))"
+        )
+
     return f"""
-            WITH sbuck AS (
+            WITH RECURSIVE sbuck AS (
               SELECT vec_id,
                      (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
                       + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
@@ -1037,9 +1058,59 @@ def _dedup_embedding_cosine_oracle() -> str:
                         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS c
               FROM allp
               JOIN embeddings ea ON ea.vec_id = vec_a
-              JOIN embeddings eb ON eb.vec_id = vec_b)
+              JOIN embeddings eb ON eb.vec_id = vec_b),
+            cents(centroid_id, c) AS (VALUES
+              {cent_rows}),
+            vass AS (
+              SELECT vec_id, embedding, centroid_id, cc6 FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       round({cos('e.embedding', 'c.c')}, 6) AS cc6,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round({cos('e.embedding', 'c.c')}, 6) DESC,
+                                  c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            vrep AS (
+              SELECT vec_id, embedding, centroid_id, cc6,
+                     min(vec_id) OVER (PARTITION BY embedding) AS rep
+              FROM vass),
+            sstar AS (
+              SELECT rep AS vec_a, vec_id AS vec_b, CAST(1.0 AS DOUBLE) AS cosine
+              FROM vrep WHERE vec_id <> rep),
+            sreps AS (SELECT * FROM vrep WHERE vec_id = rep),
+            srpairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round({cos('a.embedding', 'b.embedding')}, 4) AS cosine
+              FROM sreps a JOIN sreps b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              WHERE {cos('a.embedding', 'b.embedding')} >= 0.49995),
+            sempairs AS (
+              SELECT * FROM sstar UNION ALL SELECT * FROM srpairs),
+            ssym AS (SELECT vec_a AS a, vec_b AS b FROM sempairs
+                     UNION SELECT vec_b, vec_a FROM sempairs),
+            scomp(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM ssym)
+              UNION
+              SELECT e.a, c.label FROM ssym e JOIN scomp c ON c.node = e.b),
+            slab AS (SELECT node, min(label) AS component FROM scomp GROUP BY node),
+            slabeled AS (
+              SELECT v.vec_id, coalesce(l.component, v.vec_id) AS component, v.cc6
+              FROM vass v LEFT JOIN slab l ON l.node = v.vec_id),
+            ssurv AS (
+              SELECT component, vec_id AS survivor FROM (
+                SELECT component, vec_id,
+                       row_number() OVER (PARTITION BY component
+                         ORDER BY cc6 DESC, vec_id) AS rn
+                FROM slabeled) WHERE rn = 1),
+            sdrops AS (
+              SELECT s.survivor AS vec_a, m.vec_id AS vec_b,
+                     round(m.cc6, 4) AS cosine
+              FROM slabeled m JOIN ssurv s USING (component)
+              WHERE m.vec_id <> s.survivor)
             SELECT kind, vec_a, vec_b, round(c, 4) AS cosine
             FROM scored WHERE c >= 0.49995
+            UNION ALL SELECT 'semantic' AS kind, vec_a, vec_b, cosine FROM sempairs
+            UNION ALL SELECT 'semantic_drop' AS kind, vec_a, vec_b, cosine FROM sdrops
         """
 
 
@@ -1443,8 +1514,14 @@ def q_dedup_embedding_cosine(spark, sf):
     legacy single-bucket sign-LSH path ('single', first-4-signs bucket)
     UNION the scale path ('banded', 4 bands x 16 sign bits with the
     population cap — dedupe.embedding_cosine_pairs default; VERDICT r5
-    #3). Same pair semantics, different candidate generators — the
-    banded kind is the one that survives 10^10 vectors."""
+    #3) UNION the SemDeDup layer (dedupe.semantic_dedup over the
+    kmeans_codebook clusters): 'semantic' = exact-first star +
+    within-cluster representative pairs at cosine >= 0.5, and
+    'semantic_drop' = one row per NON-survivor (vec_a = the component's
+    survivor — max centroid-cosine, ties lowest id — vec_b = the dropped
+    member, cosine = the dropped member's centroid cosine), making the
+    keep/drop decision itself driver-visible. Four candidate generators,
+    one pair semantics."""
     e = _t(spark, sf, "embeddings")
     single = D.embedding_cosine_pairs(e, threshold=0.5, n_bits=4).select(
         F.lit("single").alias("kind"), "vec_a", "vec_b", "cosine"
@@ -1452,7 +1529,17 @@ def q_dedup_embedding_cosine(spark, sf):
     banded = D.embedding_cosine_pairs(
         e, threshold=0.5, n_bands=4, band_bits=16, band_pop_cap=64
     ).select(F.lit("banded").alias("kind"), "vec_a", "vec_b", "cosine")
-    return single.unionByName(banded)
+    sem_pairs, sem_members = D.semantic_dedup(spark, e, n_clusters=8, eps=0.5)
+    semantic = sem_pairs.select(
+        F.lit("semantic").alias("kind"), "vec_a", "vec_b", "cosine"
+    )
+    drops = sem_members.filter(~F.col("is_survivor")).select(
+        F.lit("semantic_drop").alias("kind"),
+        F.col("survivor_id").alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("cent_cos").alias("cosine"),
+    )
+    return single.unionByName(banded).unionByName(semantic).unionByName(drops)
 
 
 def q_j_shuffle_join(spark, sf):
@@ -2303,6 +2390,14 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
             file=_sys.stderr,
         )
     try:
+        out["dedup_embedding_cosine"] = _dedup_embedding_cosine_oracle(sf_dir)
+    except (OSError, _ddb.Error) as e:
+        print(
+            f"[oracle_sql] dedup_embedding_cosine degraded to rows-only: "
+            f"cannot read {sf_dir}/embeddings.parquet ({e})",
+            file=_sys.stderr,
+        )
+    try:
         out["text_bpe"] = _text_bpe_oracle(sf_dir)
     except (OSError, _ddb.Error) as e:
         print(
@@ -2660,7 +2755,9 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.4
         """,
-        "dedup_embedding_cosine": _dedup_embedding_cosine_oracle(),
+        # dedup_embedding_cosine is added in the sf-dependent block below
+        # (its 'semantic' kinds re-derive the kmeans codebook from the
+        # oracle-scale parquet, like ann_ivf_kmeans)
         "j_asof_join": """
             WITH p AS (
               SELECT user_id, ts, max_by(value, event_id) AS p_value

@@ -415,6 +415,134 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    spark,
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    eps: float = 0.9,
+    iters: int = 10,
+    sample_n: int = 2048,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, call two items
+    semantic duplicates when they land in the SAME cluster with cosine
+    >= ``eps``, and keep ONE survivor per duplicate component — the
+    member closest to its centroid (ties -> lowest id), so the kept
+    example is the most prototypical of the group, not an arbitrary
+    min-id.
+
+    Returns ``(pairs, members)``:
+
+    - ``pairs``: (vec_a, vec_b, cosine) — EXACT-FIRST star edges
+      (bitwise-identical vectors collapse to their min-id representative,
+      cosine literal 1.0) plus representative-representative
+      within-cluster edges (round-4 cosine >= eps). Connectivity-equal to
+      the full within-cluster pair set (phash_dup_graph's argument:
+      identical vectors are interchangeable endpoints), never the
+      quadratic enumeration of an identical-embedding pile.
+    - ``members``: (vec_id, cluster, component, cent_cos, survivor_id,
+      is_survivor) for EVERY input row — component = min reachable id
+      over ``pairs`` (singletons label themselves), survivor = argmax
+      centroid-cosine (round-6 ordering, round-4 emission; ties -> lowest
+      id) within the component.
+
+    Scale plan (100 TB): the codebook trains driver-side on a bounded
+    deterministic sample and rides the plan (kmeans_codebook /
+    ivf_assign's literal path — no Exchange for the assignment); the only
+    shuffles are the exact-group window (keyed on the vector value — the
+    row IS the key, same width either way), the within-cluster rep
+    self-join (bounded per cluster: pick n_clusters ~ n / target_cluster
+    so clusters hold ~10^4-10^5 reps — the SemDeDup paper's 50k clusters
+    for 600M items), and the O(log d) component rounds. An
+    identical-embedding pile of 10^6 rows contributes 10^6 - 1 star
+    edges, not ~10^12 pairs. Reference has no semantic layer (its dedupe
+    is exact ON CONFLICT, src/crawler.py:204); this is the
+    training-data-mandate extension over the embeddings table.
+    """
+    from .components import connected_components
+    from .similarity import _dot, _norm, ivf_assign, kmeans_codebook
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_codebook(
+            spark, embeddings, n_centroids=n_clusters, iters=iters,
+            sample_n=sample_n, vec_col=vec_col, id_col=id_col,
+        )
+    )
+    assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col)
+    # centroid cosine for the survivor rule: round-6 (the assignment's own
+    # rounding) so the ordering is the one both engines reproduce
+    scored = assigned.join(F.broadcast(cents), "centroid_id").select(
+        F.col(id_col),
+        "_v",
+        "_nv",
+        F.col("centroid_id").alias("cluster"),
+        F.round(
+            _dot(F.col("_v"), F.col("_c")) / (F.col("_nv") * F.col("_nc")), 6
+        ).alias("_cc6"),
+    )
+    # exact-first: bitwise-identical vectors share one representative
+    # (min id). One shuffle keyed on the vector value; multiplicity rides
+    # along for free if a caller wants it.
+    wv = Window.partitionBy("_v")
+    members = scored.withColumn("_rep", F.min(F.col(id_col)).over(wv))
+    star = members.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("vec_a"),
+        F.col(id_col).alias("vec_b"),
+        F.lit(1.0).alias("cosine"),
+    )
+    reps = members.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, "_v", "_nv", "cluster"
+    )
+    a = reps.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"),
+        F.col("_nv").alias("_na"), "cluster",
+    )
+    b = reps.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"),
+        F.col("_nv").alias("_nb"), "cluster",
+    )
+    rep_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
+        )
+        .filter(F.col("cosine") >= eps)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    pairs = star.unionByName(rep_pairs)
+
+    comps = connected_components(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    ).withColumnRenamed("node", id_col)
+    labeled = (
+        members.select(id_col, "cluster", "_cc6")
+        .join(comps, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    wc = Window.partitionBy("component").orderBy(F.desc("_cc6"), F.col(id_col))
+    surv = (
+        labeled.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("component", F.col(id_col).alias("survivor_id"))
+    )
+    members_out = labeled.join(surv, "component").select(
+        id_col,
+        "cluster",
+        "component",
+        F.round(F.col("_cc6"), 4).alias("cent_cos"),
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
+    )
+    return pairs, members_out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

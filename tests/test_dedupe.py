@@ -323,3 +323,112 @@ def test_embedding_cosine_multiband_recall_beats_one_wide_bucket(spark):
     assert [(r["vec_a"], r["vec_b"]) for r in banded.collect()] == [(0, 1)]
     single_wide = D.embedding_cosine_pairs(df, threshold=0.9, n_bits=16)
     assert single_wide.count() == 0
+
+
+# ---------------------------------------------------------------- semantic
+
+
+def _cents(spark, vecs):
+    """Explicit codebook in kmeans_codebook's output shape."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "centroid_id int, _c array<double>",
+    )
+    return df.select("centroid_id", "_c", SIM._norm(F.col("_c")).alias("_nc"))
+
+
+def test_semantic_dedup_exact_first_star_edges(spark):
+    """An identical-embedding pile must contribute O(n) star edges to the
+    min-id representative (never the quadratic pair set), cluster into ONE
+    component with ONE survivor, and leave unrelated vectors alone."""
+    rows = [(i, [0.0, 1.0]) for i in range(10, 20)]  # the pile
+    rows.append((0, [1.0, 0.0]))  # orthogonal singleton
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs, members = D.semantic_dedup(
+        spark, df, eps=0.9, centroids=_cents(spark, [[1.0, 1.0]])
+    )
+    got = sorted((r["vec_a"], r["vec_b"], r["cosine"]) for r in pairs.collect())
+    assert got == [(10, b, 1.0) for b in range(11, 20)]  # 9 star edges, no n^2
+    m = {r["vec_id"]: r for r in members.collect()}
+    assert len(m) == 11
+    assert all(m[i]["component"] == 10 for i in range(10, 20))
+    # identical centroid-cosines tie -> lowest id survives
+    assert m[10]["is_survivor"] and not any(m[i]["is_survivor"] for i in range(11, 20))
+    assert m[0]["is_survivor"] and m[0]["component"] == 0  # singleton keeps itself
+
+
+def test_semantic_dedup_survivor_is_most_central(spark):
+    """SemDeDup keeps the component member CLOSEST to its centroid — not
+    the min id (which is what label_clusters would pick)."""
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (5, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    pairs, members = D.semantic_dedup(
+        spark, df, eps=0.9, centroids=_cents(spark, [[1.0, 0.0]])
+    )
+    assert [(r["vec_a"], r["vec_b"]) for r in pairs.collect()] == [(1, 5)]
+    m = {r["vec_id"]: r for r in members.collect()}
+    assert m[5]["is_survivor"] and not m[1]["is_survivor"]
+    assert m[1]["survivor_id"] == 5 and m[5]["cent_cos"] == 1.0
+
+
+def test_semantic_dedup_connectivity_matches_bruteforce(spark, emb):
+    """Star + representative edges must yield the SAME components as the
+    full within-cluster pair enumeration (the phash_dup_graph equivalence
+    argument, now for embeddings), on real sf0.01 vectors plus planted
+    exact copies (star path) and a scaled copy (rep-rep cosine-1 path).
+    eps=0.3 because the synthetic sf0.01 vectors max out at cosine ~0.44."""
+    from jobscrawler_spark.operators.components import components_py
+
+    base = emb.filter(F.col("vec_id") < 150)
+    v0 = base.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    planted = spark.createDataFrame(
+        [(1000, list(v0)), (1001, list(v0)),
+         (1002, [2.0 * x for x in v0])],
+        "vec_id long, embedding array<float>",
+    )
+    df = base.select("vec_id", "embedding").unionByName(planted)
+    cents = SIM.kmeans_codebook(spark, df, n_centroids=4, sample_n=153)
+    pairs, members = D.semantic_dedup(spark, df, eps=0.3, centroids=cents)
+
+    assigned = SIM.ivf_assign(df, cents, 1)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"),
+        F.col("_nv").alias("_na"), "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"),
+        F.col("_nv").alias("_nb"), "centroid_id",
+    )
+    brute = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "c",
+            F.round(SIM._dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
+        )
+        .filter(F.col("c") >= 0.3)
+    )
+    sem_edges = [(r["vec_a"], r["vec_b"]) for r in pairs.collect()]
+    brute_edges = [(r["vec_a"], r["vec_b"]) for r in brute.collect()]
+    assert brute_edges, "fixture produced no pairs — threshold too tight"
+    want, got = components_py(brute_edges), components_py(sem_edges)
+    ids = [r["vec_id"] for r in df.select("vec_id").collect()]
+    assert {i: got.get(i, i) for i in ids} == {i: want.get(i, i) for i in ids}
+    # and the members view agrees with its own pair set
+    mgot = {r["vec_id"]: r["component"] for r in members.collect()}
+    assert mgot == {i: got.get(i, i) for i in ids}
+
+
+def test_semantic_dedup_deterministic(spark, emb):
+    df = emb.filter(F.col("vec_id") < 100)
+    outs = []
+    for _ in range(2):
+        pairs, members = D.semantic_dedup(spark, df, eps=0.3, n_clusters=4, sample_n=100)
+        outs.append(
+            (
+                sorted(map(tuple, pairs.collect())),
+                sorted(map(tuple, members.collect())),
+            )
+        )
+    assert outs[0] == outs[1]
