@@ -582,18 +582,116 @@ def _kmeans_cent_values(sf_dir: str, n_centroids: int = 8, iters: int = 10,
     )
 
 
+def _pq_book_values(sf_dir: str, m: int = 8, k: int = 16, iters: int = 10,
+                    sample_n: int = 2048) -> str:
+    """Independent numpy recompute of the PQ sub-codebooks (the contract
+    documented in operators/pq.py: per subspace over raw float64
+    subvectors, init first-k, round-6 einsum squared distances / first-min
+    argmin / fixed-order means / round-6 centroids per iteration),
+    rendered as VALUES rows (sub, cid, c, cc) — cc is the centroid's
+    self-dot by an explicitly sequential Python sum, the same literal the
+    Spark encode rides."""
+    import numpy as np
+    import duckdb as _ddb
+
+    con = _ddb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample_n}"
+    ).fetchdf()
+    con.close()
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    w = V.shape[1] // m
+    rows = []
+    for s in range(m):
+        X = V[:, s * w : (s + 1) * w]
+        C = X[:k].copy()
+        for _ in range(iters):
+            diff = X[:, None, :] - C[None, :, :]
+            D = np.round(np.einsum("nkd,nkd->nk", diff, diff), 6)
+            assign = D.argmin(axis=1)
+            C = np.stack(
+                [
+                    X[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                    for j in range(k)
+                ]
+            )
+            C = np.round(C, 6)
+        for j in range(k):
+            cc = 0.0
+            for x in C[j]:
+                cc += float(x) * float(x)
+            rows.append(
+                f"({s}, {j}, [{', '.join(repr(float(x)) for x in C[j])}], {cc!r})"
+            )
+    return ",\n              ".join(rows)
+
+
+def _corpus_mix_oracle(sf_dir: str) -> str:
+    """Oracle for the kind-tagged corpus_mix (r6): the 'weighted' kind
+    keeps the original pure-SQL printf thresholds; the 'temperature'
+    kind's thresholds come from an INDEPENDENT Python recompute of the
+    corpus.temperature_thresholds contract (sorted-source-order sums,
+    alpha=0.5, target N/2, int(round(rate * 2^32)) hex rendering) over
+    the oracle-scale source counts, inlined as a VALUES table."""
+    import duckdb as _ddb
+
+    con = _ddb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT source, count(*) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    n_total = sum(counts.values())
+    srcs = sorted(counts)
+    z = sum((counts[s] / n_total) ** 0.5 for s in srcs)
+    target = int(n_total * 0.5)
+
+    def thr(rate: float) -> str:
+        t = max(0, min(4294967296, int(round(rate * 4294967296))))
+        return "g" if t >= 4294967296 else format(t, "08x")
+
+    trows = ",\n              ".join(
+        f"('{s}', '{thr(min(1.0, (target * (((counts[s] / n_total) ** 0.5) / z)) / counts[s]))}')"
+        for s in srcs
+    )
+    return f"""
+            WITH rates AS (
+              SELECT source,
+                     printf('%08x', CAST(round(((length(source) % 3) + 1) * 0.25
+                                               * 4294967296) AS BIGINT)) AS th
+              FROM (SELECT DISTINCT source FROM documents)),
+            tthr(source, th) AS (VALUES
+              {trows})
+            SELECT 'weighted' AS kind, doc_id, source, lang
+            FROM documents JOIN rates USING (source)
+            WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < th
+            UNION ALL
+            SELECT 'temperature' AS kind, doc_id, source, lang
+            FROM documents JOIN tthr USING (source)
+            WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < th
+        """
+
+
 def _ivf_kmeans_oracle(sf_dir: str) -> str:
-    """Oracle for ann_ivf_kmeans: the Lloyd codebook is DETERMINISTIC, so
-    an independent numpy recompute (_kmeans_cent_values) reads the
+    """Oracle for ann_ivf_kmeans (method-tagged since r6): the Lloyd
+    codebook AND the PQ sub-codebooks are DETERMINISTIC, so independent
+    numpy recomputes (_kmeans_cent_values, _pq_book_values) read the
     ORACLE-SCALE embeddings parquet directly (the driver runs oracles at
-    sf0.01; see _oracle_sf_dir) and inlines the centroids as a VALUES
-    table; assignment + top-k are pure SQL like the former ann_ivf_topk
-    oracle.
+    sf0.01; see _oracle_sf_dir) and inline them as VALUES tables;
+    assignment, PQ encode (argmin round-6 x.x - 2*x.c + c.c, ties lowest
+    code), reconstruction (flatten of per-subspace centroids in subspace
+    order) and both top-k rankings are pure SQL.
     """
     cent_rows = _kmeans_cent_values(sf_dir)
+    pq_rows = _pq_book_values(sf_dir)
     return f"""
             WITH cents(centroid_id, c) AS (VALUES
               {cent_rows}),
+            pqb(sub, cid, pc, cc) AS (VALUES
+              {pq_rows}),
             scored AS (
               SELECT e.vec_id, e.embedding, c.centroid_id,
                      row_number() OVER (
@@ -606,11 +704,36 @@ def _ivf_kmeans_oracle(sf_dir: str) -> str:
             sims AS (
               SELECT q.query_id, a.vec_id,
                      round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS sim
-              FROM assign a JOIN q ON a.centroid_id = q.centroid_id)
-            SELECT query_id, vec_id, sim, rank FROM (
+              FROM assign a JOIN q ON a.centroid_id = q.centroid_id),
+            pscore AS (
+              SELECT m.vec_id, p.sub, p.cid,
+                     round(list_dot_product(list_slice(m.e, p.sub*8+1, p.sub*8+8), list_slice(m.e, p.sub*8+1, p.sub*8+8))
+                           - 2*list_dot_product(list_slice(m.e, p.sub*8+1, p.sub*8+8), p.pc) + p.cc, 6) AS d2
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) m
+              CROSS JOIN pqb p),
+            pcodes AS (
+              SELECT vec_id, sub, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d2, cid) AS rn
+                FROM pscore) WHERE rn = 1),
+            recon AS (
+              SELECT pc.vec_id, flatten(list(p.pc ORDER BY pc.sub)) AS vhat
+              FROM pcodes pc JOIN pqb p ON p.sub = pc.sub AND p.cid = pc.cid
+              GROUP BY pc.vec_id),
+            psims AS (
+              SELECT q.query_id, a.vec_id,
+                     round(list_dot_product(CAST(q.qv AS DOUBLE[]), r.vhat) / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) * sqrt(list_dot_product(r.vhat, r.vhat))), 4) AS sim
+              FROM assign a JOIN q ON a.centroid_id = q.centroid_id
+              JOIN recon r ON r.vec_id = a.vec_id)
+            SELECT 'kmeans' AS method, query_id, vec_id, sim, rank FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM sims) WHERE rank <= 5
+            UNION ALL
+            SELECT 'pq' AS method, query_id, vec_id, sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+              FROM psims) WHERE rank <= 5
         """
 
 
@@ -1593,14 +1716,30 @@ def q_ann_topk(spark, sf):
 
 
 def q_ann_ivf_kmeans(spark, sf):
-    """IVF with a Lloyd-refined codebook trained on a deterministic sample
-    (the scale path: train on sample, broadcast codebook). The codebook is
-    deterministic, so the oracle recomputes it independently (numpy over
-    the oracle-scale parquet) and runs assignment+topk as pure SQL
-    (_ivf_kmeans_oracle); recall floors are asserted in tests/test_dedupe.py."""
+    """Kmeans-codebook ANN, method-tagged (merged r6 for the 50-entry
+    window): 'kmeans' = IVF with the Lloyd-refined codebook trained on a
+    deterministic sample (the scale path: train on sample, broadcast
+    codebook); 'pq' = IVF-PQ over the SAME coarse lists — vectors encode
+    map-side to 8x16-code product-quantization codes (operators/pq.py)
+    and rank by round-4 cosine against their reconstruction (ADC), the
+    form that scans 30x fewer bytes at 10^10 vectors. Both codebooks are
+    deterministic, so the oracle recomputes them independently (numpy
+    over the oracle-scale parquet) and runs the whole chain as pure SQL
+    (_ivf_kmeans_oracle); recall floors in tests/test_dedupe.py and
+    tests/test_pq.py."""
+    from jobscrawler_spark.operators import pq as PQ
+
     e = _t(spark, sf, "embeddings")
+    qdf = _queries_df(spark, sf)
     cents = SIM.kmeans_codebook(spark, e, n_centroids=8, iters=10)
-    return SIM.ivf_topk(e, _queries_df(spark, sf), k=5, centroids=cents)
+    km = SIM.ivf_topk(e, qdf, k=5, centroids=cents).select(
+        F.lit("kmeans").alias("method"), "query_id", "vec_id", "sim", "rank"
+    )
+    books = PQ.pq_train(e, m=8, k=16, iters=10)
+    adc = PQ.pq_topk(e, qdf, k=5, books=books, coarse=cents, nprobe=1).select(
+        F.lit("pq").alias("method"), "query_id", "vec_id", "sim", "rank"
+    )
+    return km.unionByName(adc)
 
 
 def _crossmodal_fixture_rows() -> list[tuple[str, int, str]]:
@@ -1804,21 +1943,42 @@ def q_pack_sequences(spark, sf):
 
 
 def q_corpus_mix(spark, sf):
-    """WEIGHTED DATA MIXTURE (NEW r4): per-source deterministic
-    downsampling to target rates via md5-threshold string comparison
-    (operators/corpus.py:weighted_mix) — rate per source derived from
-    len(source) (0.25/0.5/0.75, identically in the oracle's printf
-    threshold). The survivor decision depends only on doc_id, so engines,
-    re-runs and partitionings agree exactly."""
-    from jobscrawler_spark.operators.corpus import mix_threshold_hex, weighted_mix
+    """DATA MIXTURE, kind-tagged (merged r6): 'weighted' = per-source
+    deterministic downsampling to fixed target rates via md5-threshold
+    string comparison (operators/corpus.py:weighted_mix) — rate per
+    source derived from len(source) (0.25/0.5/0.75, identically in the
+    oracle's printf threshold); 'temperature' = size^alpha temperature
+    sampling (corpus.temperature_thresholds, alpha=0.5, target half the
+    corpus — the mT5/XLM-R low-resource boost), rates derived from the
+    grouped source counts by the documented sorted-order Python
+    arithmetic that the oracle's independent recompute repeats
+    bit-identically. The survivor decision depends only on doc_id, so
+    engines, re-runs and partitionings agree exactly."""
+    from jobscrawler_spark.operators.corpus import (
+        mix_threshold_hex,
+        temperature_thresholds,
+        weighted_mix,
+    )
 
     d = _t(spark, sf, "documents")
-    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
     rates = spark.createDataFrame(
-        [(s, mix_threshold_hex(((len(s) % 3) + 1) * 0.25)) for s in sorted(srcs)],
+        [(s, mix_threshold_hex(((len(s) % 3) + 1) * 0.25)) for s in sorted(counts)],
         "source string, threshold_hex string",
     )
-    return weighted_mix(d, rates).select("doc_id", "source", "lang")
+    fixed = weighted_mix(d, rates).select(
+        F.lit("weighted").alias("kind"), "doc_id", "source", "lang"
+    )
+    trates = spark.createDataFrame(
+        temperature_thresholds(counts), "source string, threshold_hex string"
+    )
+    temp = weighted_mix(d, trates).select(
+        F.lit("temperature").alias("kind"), "doc_id", "source", "lang"
+    )
+    return fixed.unionByName(temp)
 
 
 def q_text_bpe(spark, sf):
@@ -2398,6 +2558,14 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
             file=_sys.stderr,
         )
     try:
+        out["corpus_mix"] = _corpus_mix_oracle(sf_dir)
+    except (OSError, _ddb.Error) as e:
+        print(
+            f"[oracle_sql] corpus_mix degraded to rows-only: "
+            f"cannot read {sf_dir}/documents.parquet ({e})",
+            file=_sys.stderr,
+        )
+    try:
         out["text_bpe"] = _text_bpe_oracle(sf_dir)
     except (OSError, _ddb.Error) as e:
         print(
@@ -2647,16 +2815,9 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY d.doc_id, b.bench_id
             HAVING count(*) >= 1
         """,
-        "corpus_mix": """
-            WITH rates AS (
-              SELECT source,
-                     printf('%08x', CAST(round(((length(source) % 3) + 1) * 0.25
-                                               * 4294967296) AS BIGINT)) AS th
-              FROM (SELECT DISTINCT source FROM documents))
-            SELECT doc_id, source, lang
-            FROM documents JOIN rates USING (source)
-            WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < th
-        """,
+        # corpus_mix is added in the sf-dependent block below (its
+        # 'temperature' kind re-derives the size^alpha thresholds from
+        # the oracle-scale source counts, like ann_ivf_kmeans)
         "dedup_exact": r"""
             SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
                    min(doc_id) AS keep_doc_id, count(*) AS n_dups,

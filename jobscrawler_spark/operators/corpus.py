@@ -257,6 +257,38 @@ def mix_threshold_hex(rate: float) -> str:
     return format(t, "08x")
 
 
+def temperature_thresholds(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> list[tuple[str, str]]:
+    """Temperature-based mixture rates (the multilingual ``size^alpha``
+    sampling of mT5/XLM-R — public): boost low-resource sources, damp
+    dominant ones. Deterministic driver-side contract (pure Python floats,
+    summation in SORTED source order) so the oracle's independent Python
+    recompute is bit-identical:
+
+    - ``N = sum(counts)``, ``T = int(N * target_frac)``
+    - ``z = sum((n_s/N) ** alpha  for s in sorted(sources))``
+    - ``q_s = ((n_s/N) ** alpha) / z``  (the temperature share)
+    - ``rate_s = min(1.0, (T * q_s) / n_s)``  -> mix_threshold_hex
+
+    Returns [(source, threshold_hex)] in sorted source order, ready for
+    ``weighted_mix``. ``counts`` is bounded by the source dimension (a
+    grouped count, never per-doc driver data), so this scales like every
+    other driver-side codebook in the repo."""
+    srcs = sorted(counts)
+    n_total = sum(counts[s] for s in srcs)
+    z = sum((counts[s] / n_total) ** alpha for s in srcs)
+    target = int(n_total * target_frac)
+    out = []
+    for s in srcs:
+        q = ((counts[s] / n_total) ** alpha) / z
+        rate = min(1.0, (target * q) / counts[s])
+        out.append((s, mix_threshold_hex(rate)))
+    return out
+
+
 def weighted_mix(
     docs: DataFrame,
     rates: DataFrame,

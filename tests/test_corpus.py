@@ -14,6 +14,7 @@ from jobscrawler_spark.operators.corpus import (
     mix_threshold_hex,
     pack_image_batches,
     pack_sequences,
+    temperature_thresholds,
     weighted_mix,
 )
 
@@ -141,6 +142,38 @@ def test_weighted_mix_is_a_stable_subset(spark):
         survivors[rate] = {r["doc_id"] for r in weighted_mix(docs, rates).collect()}
     assert survivors[0.2] <= survivors[0.6]
     assert len(survivors[0.2]) < len(survivors[0.6])
+
+
+def test_temperature_thresholds_contract():
+    """size^alpha temperature sampling: equal sizes degrade to the flat
+    target rate, alpha=1 is proportional sampling (flat rate again), the
+    low-resource boost caps at keep-everything, and sizes are chosen so
+    every intermediate float is exact (no boundary luck)."""
+    assert dict(temperature_thresholds({"a": 100, "b": 100})) == {
+        "a": mix_threshold_hex(0.5),
+        "b": mix_threshold_hex(0.5),
+    }
+    t1 = dict(temperature_thresholds({"a": 768, "b": 256}, alpha=1.0))
+    assert t1["a"] == t1["b"] == mix_threshold_hex(0.5)
+    t = dict(temperature_thresholds({"big": 900, "small": 100}))
+    assert t["small"] == "g"  # boosted past 1.0 -> keep everything
+    assert t["big"] < mix_threshold_hex(0.5)  # dominant source damped
+
+
+def test_temperature_mix_boosts_low_resource(spark):
+    rows = [(i, "big" if i < 900 else "small", "x") for i in range(1000)]
+    docs = _docs(spark, rows)
+    trates = spark.createDataFrame(
+        temperature_thresholds({"big": 900, "small": 100}),
+        "source string, threshold_hex string",
+    )
+    kept = {
+        r["source"]: r["count"]
+        for r in weighted_mix(docs, trates).groupBy("source").count().collect()
+    }
+    assert kept["small"] == 100  # low-resource source fully kept
+    assert kept["small"] / 100 > kept["big"] / 900
+    assert 350 <= kept["big"] + kept["small"] <= 650  # near the N/2 target
 
 
 # --- image batch packing (r5) ----------------------------------------------
