@@ -1579,24 +1579,46 @@ def q_corpus_filter(spark, sf):
 
 
 def q_sample_deterministic(spark, sf):
-    """Deterministic sampling, BOTH modes in ONE gate (merged r4 for the
-    50-entry window), tagged by method: the md5-bucket ~10% corpus sample
-    (hex-prefix compare — reproducible across engines and runs, unlike
-    rand()) UNION the md5-ranked stratified top-20 per lang (equal-count
-    strata regardless of class skew)."""
+    """Deterministic sampling/ordering, FOUR modes in ONE gate (merged
+    r4/r6 for the 50-entry window), tagged by method: 'hash' = the
+    md5-bucket ~10% corpus sample (hex-prefix compare — reproducible
+    across engines and runs, unlike rand()); 'strat' = the md5-ranked
+    stratified top-20 per lang (equal-count strata regardless of class
+    skew); 'shuffle' (r6) = the first 64 positions of the epoch-1
+    deterministic global training shuffle (corpus.epoch_shuffle — the
+    two-phase 256-shard distributed ranking; the oracle's single global
+    window states exactly the order it must equal); 'split' (r6) = the
+    90/5/5 train/val/test hash split (corpus.hash_split, cumulative
+    md5-threshold intervals), assignment in the detail column."""
+    from jobscrawler_spark.operators.corpus import epoch_shuffle, hash_split
+
     d = _t(spark, sf, "documents")
     bucket = F.substring(F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 4)
     hash_s = d.filter(bucket < "199a").select(
-        "doc_id", "lang", F.lit("hash").alias("method")
+        "doc_id", "lang", F.lit("hash").alias("method"), F.lit("").alias("detail")
     )
     h = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
     strat = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
-        .select("doc_id", "lang", F.lit("strat").alias("method"))
+        .select("doc_id", "lang", F.lit("strat").alias("method"), F.lit("").alias("detail"))
     )
-    return hash_s.unionByName(strat)
+    shuf = (
+        epoch_shuffle(d, epoch=1)
+        .filter(F.col("pos") < 64)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.lit("shuffle").alias("method"),
+            F.col("pos").cast("string").alias("detail"),
+        )
+    )
+    split = hash_split(d).select(
+        "doc_id", "lang", F.lit("split").alias("method"), F.col("split").alias("detail")
+    )
+    return hash_s.unionByName(strat).unionByName(shuf).unionByName(split)
 
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -2824,15 +2846,38 @@ def _oracle_sql_static() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',') AS dup_doc_ids
             FROM documents GROUP BY 1
         """,
-        "sample_deterministic": """
-            SELECT doc_id, lang, 'hash' AS method FROM documents
+        # split thresholds: independent recompute of the cumulative
+        # int(round(cum * 2^32)) hex contract (corpus.split_thresholds)
+        # for the default 90/5/5 split; last interval is exhaustive.
+        "sample_deterministic": f"""
+            SELECT doc_id, lang, 'hash' AS method, '' AS detail FROM documents
             WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
             UNION ALL
-            SELECT doc_id, lang, 'strat' AS method FROM (
+            SELECT doc_id, lang, 'strat' AS method, '' AS detail FROM (
               SELECT doc_id, lang,
                      row_number() OVER (PARTITION BY lang
                        ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents) WHERE rn <= 20
+            UNION ALL
+            -- the epoch-1 global shuffle order the two-phase sharded
+            -- ranking must equal: ONE global window over the same key
+            SELECT doc_id, lang, 'shuffle' AS method,
+                   CAST(pos AS VARCHAR) AS detail FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       ORDER BY md5('shuffle|1|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS pos
+              FROM documents) WHERE pos < 64
+            UNION ALL
+            SELECT doc_id, lang, 'split' AS method,
+                   CASE
+                     WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '{format(int(round(0.9 * 4294967296)), "08x")}' THEN 'train'
+                     WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '{format(int(round(0.95 * 4294967296)), "08x")}' THEN 'val'
+                     ELSE 'test'
+                   END AS detail
+            FROM documents
         """,
         "dedup_minhash_lsh": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents WHERE doc_id < 150),

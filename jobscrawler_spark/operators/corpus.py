@@ -315,3 +315,88 @@ def weighted_mix(
         )
         .drop("threshold_hex", "__p")
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle: (id, pos) where ``pos`` is
+    the document's 0-based position in the epoch's training order —
+    ordering by ``md5('shuffle|<epoch>|<id>')`` (ties -> lowest id), so
+    every epoch is a different, reproducible permutation and any engine
+    or re-run derives the identical order (the data-defined-order rule
+    the whole repo follows; rand() is none of that).
+
+    Scale shape (100 TB): a global ``row_number`` window would serialize
+    the corpus through ONE partition. Instead, the classic two-phase
+    distributed ranking: the shard is the key's FIRST BYTE (256 uniform
+    md5 shards), within-shard ranks come from a window PARTITIONED on the
+    shard, and global positions add per-shard offsets from a 256-row
+    grouped count cum-summed driver-side and inlined as a literal map.
+    Because the shard is a prefix of the sort key, shard-major order IS
+    global key order — bit-equal to the naive global window (test-pinned)
+    at any partitioning."""
+    key = F.md5(F.concat(F.lit(f"shuffle|{epoch}|"), F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col), key.alias("__k")).withColumn(
+        "__shard", F.conv(F.substring("__k", 1, 2), 16, 10).cast("int")
+    )
+    counts = {
+        r["__shard"]: r["n"]
+        for r in d.groupBy("__shard").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for s in range(256):
+        offsets.append(acc)
+        acc += counts.get(s, 0)
+    off_map = F.create_map(
+        *[F.lit(v) for s in range(256) for v in (s, offsets[s])]
+    )
+    w = Window.partitionBy("__shard").orderBy("__k", id_col)
+    return d.select(
+        F.col(id_col),
+        (
+            off_map[F.col("__shard")].cast("long")
+            + F.row_number().over(w)
+            - 1
+        ).alias("pos"),
+    )
+
+
+def split_thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, str]]:
+    """Cumulative md5-threshold boundaries for hash_split: each split
+    owns the hex interval [prev_threshold, mix_threshold_hex(cum)).
+    Fractions must sum to <= 1.0; any remainder falls into the LAST
+    split (its threshold is forced to 'g' > every hex digit, so the
+    partition is exhaustive)."""
+    out, cum = [], 0.0
+    for i, (name, frac) in enumerate(splits):
+        cum += frac
+        th = "g" if i == len(splits) - 1 else mix_threshold_hex(cum)
+        out.append((name, th))
+    return out
+
+
+def hash_split(
+    docs: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split|",
+) -> DataFrame:
+    """Deterministic disjoint-and-exhaustive train/val/test assignment:
+    adds a ``split`` column chosen by where the md5 hex prefix of
+    ``'<salt><id>'`` falls among the cumulative thresholds — a pure
+    map-side string compare, so membership depends only on the id.
+    Growing a prefix split's fraction keeps every id it already had
+    (cumulative-interval monotonicity, test-pinned), which is what makes
+    the split stable as the ratio is re-tuned mid-project."""
+    splits = splits or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    expr = None
+    for name, th in split_thresholds(splits):
+        cond = prefix < F.lit(th)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)

@@ -268,3 +268,75 @@ def test_prop_packing_invariants(token_counts, budget):
         assert bin_id >= last_bin
         last_bin = bin_id
         pre += n
+
+
+# ---------------------------------------------------- epoch shuffle / split
+
+@pytest.fixture(scope="module")
+def sdocs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "lang"
+    ).cache()
+
+
+def test_epoch_shuffle_matches_python_global_order(spark, sdocs):
+    """The two-phase sharded ranking must equal the naive global order:
+    positions are a 0..n-1 permutation sorted by (md5 key, id), re-derived
+    in pure Python from collected ids."""
+    import hashlib
+
+    from jobscrawler_spark.operators.corpus import epoch_shuffle
+
+    got = {r["doc_id"]: r["pos"] for r in epoch_shuffle(sdocs, epoch=1).collect()}
+    ids = [r["doc_id"] for r in sdocs.select("doc_id").collect()]
+    order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"shuffle|1|{i}".encode()).hexdigest(), i)
+    )
+    want = {i: pos for pos, i in enumerate(order)}
+    assert got == want
+    assert sorted(got.values()) == list(range(len(ids)))
+
+
+def test_epoch_shuffle_epochs_differ_and_rerun_identical(spark, sdocs):
+    from jobscrawler_spark.operators.corpus import epoch_shuffle
+
+    e1a = {r["doc_id"]: r["pos"] for r in epoch_shuffle(sdocs, epoch=1).collect()}
+    e1b = {r["doc_id"]: r["pos"] for r in epoch_shuffle(sdocs, epoch=1).collect()}
+    e2 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(sdocs, epoch=2).collect()}
+    assert e1a == e1b
+    assert e1a != e2
+
+
+def test_hash_split_disjoint_exhaustive_fractions(spark, sdocs):
+    from jobscrawler_spark.operators.corpus import hash_split
+
+    rows = hash_split(sdocs).select("doc_id", "split").collect()
+    n = sdocs.count()
+    assert len(rows) == n  # exhaustive, one split per doc
+    share = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        share[r["split"]] += 1
+    assert abs(share["train"] / n - 0.9) < 0.05, share
+    assert abs(share["val"] / n - 0.05) < 0.03, share
+    assert abs(share["test"] / n - 0.05) < 0.03, share
+
+
+def test_hash_split_prefix_monotone(spark, sdocs):
+    """Growing a prefix split keeps every id it already had — the
+    cumulative-interval property that makes ratios re-tunable."""
+    from jobscrawler_spark.operators.corpus import hash_split
+
+    small = {
+        r["doc_id"]
+        for r in hash_split(sdocs, [("train", 0.5), ("rest", 0.5)])
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in hash_split(sdocs, [("train", 0.7), ("rest", 0.3)])
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    assert small <= big
+    assert len(big) > len(small)
