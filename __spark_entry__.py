@@ -197,7 +197,12 @@ def q_f_clean_chain(spark, sf):
     chain (RE2-safe subset so DuckDB can oracle it; the backreference/
     lookaround steps F2/F6 are pinned by tests/test_cleaning.py against a
     pandas oracle instead) plus the remote-synonym location normalization
-    applied to a synthesized location column."""
+    applied to a synthesized location column. Kind-tagged since r6:
+    'reference' = the chain above; 'c4' = C4 line filtering (Raffel et
+    al.: terminal punctuation + min-3-words + lorem-ipsum/javascript/'{'
+    boilerplate markers) over the doc sentence-split into lines with one
+    planted line per drop class — map-side higher-order filter, no
+    explode."""
     d = _t(spark, sf, "documents")
     dirty = F.concat(
         F.lit("<b>"), F.col("text"), F.lit("</b> 2024-01-01 USD100-200/yr x-y")
@@ -209,9 +214,39 @@ def q_f_clean_chain(spark, sf):
     loc = F.when(F.col("doc_id") % 3 == 0, F.lit("Remote Work"))\
         .when(F.col("doc_id") % 3 == 1, F.lit("remote"))\
         .otherwise(F.lit("Berlin Office"))
-    return d.select(
-        "doc_id", F.trim(c).alias("cleaned"), clean_location_col(loc).alias("location")
+    ref = d.select(
+        F.lit("reference").alias("kind"),
+        "doc_id",
+        F.trim(c).alias("cleaned"),
+        clean_location_col(loc).alias("location"),
     )
+    # C4 kind (r6): sentence-split the doc into lines, plant one line of
+    # each boilerplate class, run the C4 line filter (functions/text.py)
+    from jobscrawler_spark.functions.text import c4_clean_lines
+
+    # the synthetic docs carry no punctuation, so build sentence lines
+    # from the token stream: line A keeps (8 words + '.'), line B drops
+    # (2 words), line C drops (no terminal punct), plus one planted line
+    # per boilerplate class
+    toks = F.split(F.col("text"), " ")
+    lined = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit(".")),
+        F.concat(F.array_join(F.slice(toks, 9, 2), " "), F.lit(".")),
+        F.array_join(F.slice(toks, 11, 5), " "),
+        F.lit("enable javascript to view this page"),
+        F.lit("{ cookie: consent }"),
+        F.lit("lorem ipsum dolor sit amet."),
+        F.lit("ok."),
+        F.lit("no terminal punct line here"),
+    )
+    c4 = d.select(
+        F.lit("c4").alias("kind"),
+        "doc_id",
+        c4_clean_lines(lined).alias("cleaned"),
+        F.lit("").alias("location"),
+    )
+    return ref.unionByName(c4)
 
 
 def q_p7_watermark(spark, sf):
@@ -672,6 +707,79 @@ def _corpus_mix_oracle(sf_dir: str) -> str:
             SELECT 'temperature' AS kind, doc_id, source, lang
             FROM documents JOIN tthr USING (source)
             WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < th
+        """
+
+
+def _pagerank_values(sf_dir: str) -> str:
+    """Independent pure-Python recompute of components.pagerank's
+    INTEGER contract (init = 10^9 // n; per iteration contrib(v) =
+    sum of rank(u) // outdeg(u) over distinct in-edges; share =
+    dangling_sum // n; rank' = (init*15)//100 + (85*(contrib+share))//100)
+    over the oracle-scale co-activity edges, rendered as VALUES rows
+    (node, rank). Integer sums are order-free, so this recompute and the
+    distributed aggregation agree bit-for-bit by construction."""
+    import duckdb as _ddb
+
+    con = _ddb.connect()
+    edges = con.execute(
+        f"""
+        WITH hours AS (
+          SELECT DISTINCT date_trunc('hour', ts) AS h, user_id % 7 AS res, user_id
+          FROM read_parquet('{sf_dir}/events.parquet') WHERE event_type = 'error'),
+        e AS (
+          SELECT user_id AS src,
+                 lead(user_id) OVER (PARTITION BY h, res ORDER BY user_id) AS dst
+          FROM hours QUALIFY dst IS NOT NULL)
+        SELECT DISTINCT src, dst FROM e
+        """
+    ).fetchall()
+    con.close()
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    init = 10**9 // n
+    base = (init * 15) // 100
+    rank = {u: init for u in nodes}
+    for _ in range(10):
+        contrib = {u: 0 for u in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        share = sum(rank[u] for u in nodes if u not in outdeg) // n
+        rank = {u: base + (85 * (contrib[u] + share)) // 100 for u in nodes}
+    return ",\n              ".join(f"({u}, {rank[u]})" for u in nodes)
+
+
+def _graph_oracle(sf_dir: str) -> str:
+    """Oracle for the kind-tagged graph gate: components via the
+    recursive min-reachable-label CTE, pagerank via the independent
+    Python recompute inlined as VALUES (_pagerank_values)."""
+    pr_rows = _pagerank_values(sf_dir)
+    return f"""
+            WITH RECURSIVE
+            hours AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS h, user_id % 7 AS res, user_id
+              FROM events WHERE event_type = 'error'),
+            edges AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER (PARTITION BY h, res ORDER BY user_id) AS dst
+              FROM hours QUALIFY dst IS NOT NULL),
+            sym AS (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges),
+            comp(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+              UNION
+              SELECT e.a, c.label FROM sym e JOIN comp c ON c.node = e.b),
+            pr(node, rank) AS (VALUES
+              {pr_rows})
+            SELECT 'component' AS kind, CAST(node AS BIGINT) AS node,
+                   CAST(min(label) AS VARCHAR) AS val
+            FROM comp GROUP BY node
+            UNION ALL
+            SELECT 'pagerank' AS kind, CAST(node AS BIGINT) AS node,
+                   CAST(rank AS VARCHAR) AS val
+            FROM pr
         """
 
 
@@ -1478,11 +1586,20 @@ _SQL_Q5 = """
 
 
 def q_graph_components(spark, sf):
-    """Connected components (dedup-cluster assembly): users chained within
-    each (hour, user_id%7) co-activity group; components via hash-to-min +
-    pointer doubling (operators/components.py). Oracle: DuckDB recursive
-    CTE computing min reachable label."""
-    from jobscrawler_spark.operators.components import connected_components
+    """Graph operators over the co-activity edge set, kind-tagged (merged
+    r6): 'component' = connected components (dedup-cluster assembly) via
+    hash-to-min + pointer doubling (operators/components.py), oracle = a
+    DuckDB recursive CTE computing the min reachable label; 'pagerank' =
+    INTEGER-exact PageRank (components.pagerank — frontier host
+    prioritization; all arithmetic int64 floor-division so engines agree
+    bit-for-bit), oracle = an independent pure-Python recompute of the
+    documented contract over the same oracle-scale edges, inlined as a
+    VALUES table. Edges: users chained within each (hour, user_id%7)
+    co-activity group."""
+    from jobscrawler_spark.operators.components import (
+        connected_components,
+        pagerank,
+    )
 
     e = _t(spark, sf, "events").filter(F.col("event_type") == "error")
     hours = e.select(
@@ -1496,7 +1613,17 @@ def q_graph_components(spark, sf):
         .filter(F.col("nxt").isNotNull())
         .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
     )
-    return connected_components(edges)
+    comp = connected_components(edges).select(
+        F.lit("component").alias("kind"),
+        "node",
+        F.col("component").cast("string").alias("val"),
+    )
+    pr = pagerank(edges, iters=10).select(
+        F.lit("pagerank").alias("kind"),
+        "node",
+        F.col("rank").cast("string").alias("val"),
+    )
+    return comp.unionByName(pr)
 
 
 def q_f_embed_prep(spark, sf):
@@ -2580,6 +2707,14 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
             file=_sys.stderr,
         )
     try:
+        out["graph_components"] = _graph_oracle(sf_dir)
+    except (OSError, _ddb.Error) as e:
+        print(
+            f"[oracle_sql] graph_components degraded to rows-only: "
+            f"cannot read {sf_dir}/events.parquet ({e})",
+            file=_sys.stderr,
+        )
+    try:
         out["corpus_mix"] = _corpus_mix_oracle(sf_dir)
     except (OSError, _ddb.Error) as e:
         print(
@@ -2663,7 +2798,7 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT kind, gram, n FROM tok
         """,
         "f_clean_chain": r"""
-            SELECT doc_id, trim(
+            SELECT 'reference' AS kind, doc_id, trim(
               regexp_replace(
                 regexp_replace(
                   regexp_replace(
@@ -2681,6 +2816,31 @@ def _oracle_sql_static() -> dict[str, str]:
                   '(?i)\bRemote Job\b|\bRemote Work\b|\bRemote Office\b|\bRemote Global\b|\bRemote with frequent travel\b',
                   'Worldwide', 'g'),
                 '(?i)^remote$', 'Worldwide', 'g')) AS location
+            FROM documents
+            UNION ALL
+            -- C4 line filter: same predicate as functions/text.c4_line_keep
+            SELECT 'c4' AS kind, doc_id,
+              coalesce(array_to_string(list_filter(
+                string_split(
+                  -- empty slices: array_to_string(NULL-able) poisons ||,
+                  -- Spark's array_join gives '' — coalesce each piece
+                  coalesce(array_to_string(string_split(text, ' ')[1:8], ' '), '') || '.'
+                  || chr(10) || coalesce(array_to_string(string_split(text, ' ')[9:10], ' '), '') || '.'
+                  || chr(10) || coalesce(array_to_string(string_split(text, ' ')[11:15], ' '), '')
+                  || chr(10) || 'enable javascript to view this page'
+                  || chr(10) || '{ cookie: consent }'
+                  || chr(10) || 'lorem ipsum dolor sit amet.'
+                  || chr(10) || 'ok.'
+                  || chr(10) || 'no terminal punct line here',
+                  chr(10)),
+                x -> regexp_matches(rtrim(x), '[.!?"]$')
+                     AND len(list_filter(string_split_regex(x, '\s+'),
+                                         w -> w <> '')) >= 3
+                     AND NOT contains(lower(x), 'lorem ipsum')
+                     AND NOT contains(lower(x), 'javascript')
+                     AND NOT contains(x, '{')
+              ), chr(10)), '') AS cleaned,
+              '' AS location
             FROM documents
         """,
         "p7_watermark": """
@@ -3002,23 +3162,9 @@ def _oracle_sql_static() -> dict[str, str]:
                          ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "sql_api_q5": _SQL_Q5,
-        "graph_components": """
-            WITH RECURSIVE
-            hours AS (
-              SELECT DISTINCT date_trunc('hour', ts) AS h, user_id % 7 AS res, user_id
-              FROM events WHERE event_type = 'error'),
-            edges AS (
-              SELECT user_id AS src,
-                     lead(user_id) OVER (PARTITION BY h, res ORDER BY user_id) AS dst
-              FROM hours QUALIFY dst IS NOT NULL),
-            sym AS (SELECT src AS a, dst AS b FROM edges
-                    UNION SELECT dst, src FROM edges),
-            comp(node, label) AS (
-              SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-              UNION
-              SELECT e.a, c.label FROM sym e JOIN comp c ON c.node = e.b)
-            SELECT node, min(label) AS component FROM comp GROUP BY node
-        """,
+        # graph_components is built dynamically (_graph_oracle: the
+        # pagerank side needs an independent Python recompute over the
+        # oracle-scale events parquet)
         "w_moving_avg": """
             WITH daily AS (
               SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev

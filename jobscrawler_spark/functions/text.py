@@ -202,3 +202,31 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def c4_line_keep(line: Column, min_words: int = 3) -> Column:
+    """The C4 line-level keep predicate (Raffel et al. 2020, public):
+    keep a line iff it ends in terminal punctuation, has at least
+    ``min_words`` whitespace words, and carries none of the boilerplate
+    markers (lorem ipsum / javascript / '{'). Pure Catalyst; the DuckDB
+    oracle repeats it with list_filter."""
+    words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+    low = F.lower(line)
+    return (
+        F.rtrim(line).rlike(r'[.!?"]$')
+        & (words >= min_words)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("javascript")
+        & ~line.contains("{")
+    )
+
+
+def c4_clean_lines(text: Column, min_words: int = 3) -> Column:
+    """C4 line filtering: split on newlines, drop lines failing
+    ``c4_line_keep``, rejoin — the standard web-corpus line cleanup that
+    runs BEFORE document-level quality scoring. Map-side only (a
+    higher-order filter over the split array; no explode, no shuffle, no
+    UDF)."""
+    return F.array_join(
+        F.filter(F.split(text, "\n"), lambda x: c4_line_keep(x, min_words)), "\n"
+    )

@@ -127,3 +127,86 @@ def components_py(edges: list[tuple[int, int]]) -> dict[int, int]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {n: find(n) for n in parent}
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) — INTEGER-exact PageRank over the distinct directed
+    edge set, for frontier prioritization (rank crawl hosts by link
+    centrality — the scheduling signal the reference's fixed config order
+    never has). All arithmetic is int64 with explicit floor division, so
+    every engine, run, and partitioning produces bit-identical ranks — no
+    float summation-order hazard anywhere (CLAUDE.md hard rule; same
+    posture as the integer-exact scene-cut detector).
+
+    Contract (the DuckDB oracle re-derives it in pure Python):
+
+    - ``n`` = |distinct(src) ∪ distinct(dst)|; ``init = scale // n``;
+      ``base = (init * (100 - damping_pct)) // 100``
+    - per iteration:
+      ``contrib(v) = Σ over in-edges (u,v) of rank(u) div outdeg(u)``
+      (exact integer sum — order-free);
+      ``share = (Σ rank of zero-outdegree nodes) // n``;
+      ``rank'(v) = base + (damping_pct * (contrib(v) + share)) div 100``
+    - rank mass leaks a few units per division (floor) — determinism is
+      the contract, not conservation.
+
+    Scale shape (10^10 nodes): per iteration ONE equi-join on src (edges
+    may be pre-partitioned/bucketed on src and REUSED every iteration —
+    the loop invariant) + one uniform-keyed groupBy on dst + one bounded
+    scalar action (the dangling sum, a single long — the watermark-read
+    pattern). Ranks are localCheckpointed per iteration: O(iters)
+    materializations of an O(V) table, the standard iterative-algorithm
+    trade; hot in-degree skew (everyone links the same host) is absorbed
+    by the partial aggregation (map-side combine on dst), never a
+    row-explosion."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    init = scale // n
+    base = (init * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    dangling_nodes = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        share = int(dangling) // n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(contrib, 0L) + {share}L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -119,3 +119,59 @@ def test_engine_image_dedup_report(spark, tmp_path):
     assert set(clustered) == {first["image_id"], first["image_id"] + "~v"}
     assert clustered[first["image_id"]]["is_survivor"]
     assert not clustered[first["image_id"] + "~v"]["is_survivor"]
+
+
+# ------------------------------------------------------------- pagerank
+
+def _py_pagerank(edges, iters=10, scale=10**9, damping_pct=85):
+    """Independent Python port of the integer PageRank contract."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    init = scale // n
+    base = (init * (100 - damping_pct)) // 100
+    rank = {u: init for u in nodes}
+    for _ in range(iters):
+        contrib = {u: 0 for u in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        share = sum(rank[u] for u in nodes if u not in outdeg) // n
+        rank = {
+            u: base + (damping_pct * (contrib[u] + share)) // 100 for u in nodes
+        }
+    return rank
+
+
+def _pr(spark, edges, **kw):
+    from jobscrawler_spark.operators.components import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_python_port_and_is_deterministic(spark):
+    # a hub (0 -> everyone), a chain, a dangling sink, a duplicate edge
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (0, 1)]
+    got = _pr(spark, edges)
+    assert got == _py_pagerank(edges)
+    assert got == _pr(spark, edges)  # re-run identical (integer contract)
+
+
+def test_pagerank_sink_outranks_sources(spark):
+    # everyone links 9; 9 links nothing (dangling) — 9 must rank highest
+    edges = [(i, 9) for i in range(9)]
+    got = _pr(spark, edges)
+    assert got == _py_pagerank(edges)
+    assert got[9] == max(got.values())
+    assert all(got[i] == got[0] for i in range(9))  # symmetric sources tie
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # without redistribution a 2-node chain starves: 0 -> 1, both > 0 rank
+    edges = [(0, 1)]
+    got = _pr(spark, edges, iters=5)
+    assert got == _py_pagerank(edges, iters=5)
+    assert got[0] > 0 and got[1] > got[0]

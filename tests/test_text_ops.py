@@ -114,3 +114,47 @@ def test_paragraph_dup_normalizes_whitespace_and_case(spark):
     )
     rows = paragraph_dup_stats(docs).collect()
     assert all(r["shared_para_frac"] == 1.0 for r in rows)
+
+
+# ---------------------------------------------------------- C4 line filter
+
+def test_c4_clean_lines_per_rule(spark):
+    from jobscrawler_spark.functions.text import c4_clean_lines
+
+    doc = "\n".join(
+        [
+            "This line is long enough and ends well.",   # keep
+            'He said "stop".',                            # keep (3 words, quote-dot)
+            "Too short.",                                 # drop: < 3 words
+            "no terminal punctuation on this line",       # drop: no [.!?"]
+            "enable JavaScript to continue viewing.",     # drop: javascript (ci)
+            "Lorem Ipsum dolor sit amet filler text.",    # drop: lorem ipsum (ci)
+            "var config = { mode: 1 };",                  # drop: '{'
+            "Does this survive? Yes it does!",            # keep: ends '!'
+            "Trailing spaces still count.   ",            # keep: rtrim before $
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = df.select(c4_clean_lines(F.col("text")).alias("c")).collect()[0]["c"]
+    assert out.split("\n") == [
+        "This line is long enough and ends well.",
+        'He said "stop".',
+        "Does this survive? Yes it does!",
+        "Trailing spaces still count.   ",
+    ]
+
+
+def test_c4_clean_lines_empty_and_min_words(spark):
+    from jobscrawler_spark.functions.text import c4_clean_lines
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two three four."), (3, "a b.")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", c4_clean_lines(F.col("text"), min_words=4).alias("c")
+        ).collect()
+    }
+    assert got == {1: "", 2: "one two three four.", 3: ""}
