@@ -532,7 +532,10 @@ def _corpus_filter_oracle(sf_dir: str) -> str:
     import duckdb as _ddb
 
     from jobscrawler_spark.functions.quality_model import DIM, SAMPLE_DOCS
-    from jobscrawler_spark.oracle.expected import train_quality_logit_independent
+    from jobscrawler_spark.oracle.expected import (
+        train_bigram_lm_independent,
+        train_quality_logit_independent,
+    )
 
     texts = [
         r[0]
@@ -543,6 +546,15 @@ def _corpus_filter_oracle(sf_dir: str) -> str:
     ]
     w, b = train_quality_logit_independent(texts, dim=DIM)
     w_lit = "[" + ", ".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    lm_pairs, lm_backs, lm_unk = train_bigram_lm_independent(texts)
+    pair_rows = ",\n          ".join(
+        f"('{_q(a)}', '{_q(bb)}', {c})" for a, bb, c in lm_pairs
+    )
+    back_rows = ",\n          ".join(f"('{_q(wd)}', {c})" for wd, c in lm_backs)
     return rf"""
         WITH surv AS (
           SELECT min(doc_id) AS doc_id FROM documents
@@ -558,13 +570,33 @@ def _corpus_filter_oracle(sf_dir: str) -> str:
                            w[(CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % {DIM}) + 1]),
                          (a, x) -> a + x) AS DOUBLE)
                        END, 6) AS ml_logit
-          FROM (SELECT doc_id, {_TOK_NONEMPTY} AS l FROM documents), wts)
-        SELECT f.doc_id, l.pred_lang, f.quality, m.ml_logit
+          FROM (SELECT doc_id, {_TOK_NONEMPTY} AS l FROM documents), wts),
+        lmp(w1, w2, pair_cost) AS (VALUES
+          {pair_rows}),
+        lmb(w1, backoff_cost) AS (VALUES
+          {back_rows}),
+        bg AS (
+          SELECT doc_id, z[1] AS w1, z[2] AS w2
+          FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS z
+                FROM (SELECT doc_id, {_TOK_NONEMPTY} AS l FROM documents))
+          WHERE z[2] IS NOT NULL),
+        ppl AS (
+          SELECT doc_id,
+                 CAST(sum(coalesce(p.pair_cost, b.backoff_cost, {lm_unk}))
+                      // count(*) AS BIGINT) AS ppl_scaled
+          FROM bg g
+          LEFT JOIN lmp p ON p.w1 = g.w1 AND p.w2 = g.w2
+          LEFT JOIN lmb b ON b.w1 = g.w1
+          GROUP BY doc_id)
+        SELECT f.doc_id, l.pred_lang, f.quality, m.ml_logit,
+               coalesce(pp.ppl_scaled, {lm_unk}) AS ppl_scaled
         FROM feats f
         JOIN langs l ON f.doc_id = l.doc_id
         JOIN surv s ON f.doc_id = s.doc_id
         JOIN ml m ON f.doc_id = m.doc_id
+        LEFT JOIN ppl pp ON pp.doc_id = f.doc_id
         WHERE l.pred_lang = 'en' AND f.quality >= 0.7 AND m.ml_logit >= 0
+          AND coalesce(pp.ppl_scaled, {lm_unk}) <= {PPL_THRESHOLD}
     """
 
 
@@ -1215,8 +1247,15 @@ def _image_dedup_clusters_oracle() -> str:
             SELECT l.image_id, l.component, s.n_members,
                    l.image_id = l.component AS is_survivor,
                    coalesce(p.n, 0) AS n_px_edges,
-                   coalesce(c.n, 0) AS n_cap_edges
+                   coalesce(c.n, 0) AS n_cap_edges,
+                   -- r6 quality-aware survivor: max resolution stand-in
+                   -- (phash & 1023), ties lowest id
+                   first_value(l.image_id) OVER (
+                     PARTITION BY l.component
+                     ORDER BY CAST(i.phash & 1023 AS INT) DESC, l.image_id
+                   ) AS keep_id
             FROM labeled l JOIN sizes s USING (component)
+            JOIN imgs i ON i.image_id = l.image_id
             LEFT JOIN pxdeg p ON p.image_id = l.image_id
             LEFT JOIN capdeg c ON c.image_id = l.image_id
         """
@@ -1668,6 +1707,11 @@ def q_dedup_exact(spark, sf):
     )
 
 
+# CCNet-style perplexity keep threshold (integer mean surprisal x1000;
+# sf0.01 distribution: min 4733 / median 4911 / p80 4943 / max 5238)
+PPL_THRESHOLD = 4950
+
+
 def q_corpus_filter(spark, sf):
     """Composed training-corpus gate: exact-dedup survivor AND lang == en
     AND heuristic quality >= 0.7 AND the LEARNED quality filter (r5) —
@@ -1678,7 +1722,15 @@ def q_corpus_filter(spark, sf):
     the output and ml_keep joins the filter. The oracle independently
     re-derives the weights from the contract (oracle/expected.py) and
     scores with DuckDB list_reduce — transcendental-free, so the two
-    engines agree to the bit."""
+    engines agree to the bit.
+
+    ppl_scaled (r6): the CCNet-style bigram-LM perplexity gate
+    (functions/lm.py) — integer surprisal tables trained driver-side on
+    the same bounded sample, doc score = integer mean surprisal per
+    bigram, keep iff <= PPL_THRESHOLD. The oracle re-derives the tables
+    independently (expected.train_bigram_lm_independent) and repeats the
+    integer arithmetic in SQL."""
+    from jobscrawler_spark.functions import lm as LM
     from jobscrawler_spark.functions import quality_model as QM
 
     d = _t(spark, sf, "documents")
@@ -1687,19 +1739,24 @@ def q_corpus_filter(spark, sf):
         for r in d.orderBy("doc_id").limit(QM.SAMPLE_DOCS).select("doc_id", "text").collect()
     ]
     w, b = QM.train_on_sample(sample)
+    pair, back, unk = LM.train_bigram_lm(sample)
     surv = D.dedup_survivors(d).select(F.col("keep_doc_id").alias("doc_id"))
     t = F.col("text")
     return (
-        QM.score_quality_model(d.join(surv, "doc_id"), w, b)
+        LM.score_perplexity(QM.score_quality_model(d.join(surv, "doc_id"), w, b), pair, back, unk)
         .select(
             "doc_id",
             T.lang_id(t).alias("pred_lang"),
             T.quality_score(t).alias("quality"),
             "ml_logit",
             "ml_keep",
+            "ppl_scaled",
         )
         .filter(
-            (F.col("pred_lang") == "en") & (F.col("quality") >= 0.7) & F.col("ml_keep")
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.7)
+            & F.col("ml_keep")
+            & (F.col("ppl_scaled") <= PPL_THRESHOLD)
         )
         .drop("ml_keep")
     )
@@ -2013,10 +2070,24 @@ def q_image_dedup_clusters(spark, sf):
     keys, never all-pairs; the caption side drops over-cap buckets
     first), components is pointer-doubling hash joins (O(log d) rounds),
     and the label/size/degree joins are uniform-key equi-joins — no step
-    materializes more than O(images + pairs) rows."""
-    from jobscrawler_spark.operators.dedupe import crossmodal_dup_clusters
+    materializes more than O(images + pairs) rows.
 
-    return crossmodal_dup_clusters(_phash_fixture_df(spark))
+    keep_id (r6): quality-aware survivor — the cluster member with max
+    resolution, ties lowest id (dedupe.preferred_survivor; "keep the
+    best copy", not min-id). The fixture carries no w*h, so resolution
+    is the documented deterministic stand-in ``phash & 1023`` (identical
+    bit arithmetic in both engines; production swaps in w*h)."""
+    from jobscrawler_spark.operators.dedupe import (
+        crossmodal_dup_clusters,
+        preferred_survivor,
+    )
+
+    imgs = _phash_fixture_df(spark)
+    out = crossmodal_dup_clusters(imgs)
+    res = imgs.select(
+        "image_id", F.expr("phash & 1023").cast("int").alias("__res")
+    )
+    return preferred_survivor(out.join(res, "image_id"), "__res").drop("__res")
 
 
 def q_decontaminate_ngram(spark, sf):

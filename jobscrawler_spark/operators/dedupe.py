@@ -767,3 +767,20 @@ def crossmodal_dup_clusters(
             F.coalesce("__cap", F.lit(0)).alias("n_cap_edges"),
         )
     )
+
+
+def preferred_survivor(
+    labeled: DataFrame,
+    pref_col: str,
+    id_col: str = "image_id",
+    component_col: str = "component",
+    out_col: str = "keep_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: adds ``out_col`` = the member of
+    each duplicate cluster with the HIGHEST ``pref_col`` (ties -> lowest
+    id) — the curation rule "keep the best copy" (highest resolution,
+    best quality score) instead of min-id. One window over component keys
+    (components are bounded by the capped LSH edge generators upstream,
+    so no partition-killing key exists by construction)."""
+    w = Window.partitionBy(component_col).orderBy(F.desc(pref_col), F.col(id_col))
+    return labeled.withColumn(out_col, F.first(id_col).over(w))

@@ -718,3 +718,30 @@ def scene_dup_rows(n: int = 12, seed: int = 42, threshold: int = 25,
              spark_round_py(n_sh / len(scenes), 6), fp)
         )
     return rows
+
+
+def train_bigram_lm_independent(
+    texts: list[str], scale: int = 1000
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int]], int]:
+    """Independent re-derivation of functions/lm.train_bigram_lm's
+    integer-surprisal contract (add-one bigram LM over the bounded
+    sample; pair = round(-log2((c12+1)/(c1+V))*scale), backoff =
+    round(log2(c1+V)*scale), unk = round(log2(V)*scale)) using Counter
+    instead of the dict loops. Returns sorted (w1, w2, cost) /
+    (w1, cost) lists ready for VALUES rendering."""
+    import math
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    v = len(uni)
+    pairs = sorted(
+        (a, b, round(-math.log2((n + 1) / (uni[a] + v)) * scale))
+        for (a, b), n in bi.items()
+    )
+    backs = sorted((w, round(math.log2(n + v) * scale)) for w, n in uni.items())
+    return pairs, backs, round(math.log2(v) * scale)

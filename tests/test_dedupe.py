@@ -432,3 +432,27 @@ def test_semantic_dedup_deterministic(spark, emb):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_preferred_survivor_max_pref_ties_lowest_id(spark):
+    from jobscrawler_spark.operators.dedupe import preferred_survivor
+
+    labeled = spark.createDataFrame(
+        [
+            # component c1: b has highest res -> keep_id = b everywhere
+            ("a", "c1", 10),
+            ("b", "c1", 99),
+            ("c", "c1", 50),
+            # component c2: tie on res -> lowest id wins
+            ("d", "c2", 7),
+            ("e", "c2", 7),
+            # singleton keeps itself
+            ("f", "c3", 1),
+        ],
+        "image_id string, component string, res int",
+    )
+    got = {
+        r["image_id"]: r["keep_id"]
+        for r in preferred_survivor(labeled, "res").collect()
+    }
+    assert got == {"a": "b", "b": "b", "c": "b", "d": "d", "e": "d", "f": "f"}
