@@ -1059,9 +1059,31 @@ def _e2e_fixture_oracles() -> dict[str, str]:
                  CAST(count(*) AS INT) AS n_units,
                  bin_id,
                  CAST(sum(n_tokens) AS INT) AS bin_offset
-          FROM bins GROUP BY source, bin_id)
+          FROM bins GROUP BY source, bin_id),
+        -- chunks (r6): overlapping token windows W=64 S=48; item_id pins
+        -- the sliced content via md5 (empty slice -> '' like Spark)
+        ch1 AS (
+          SELECT source, doc_id, l, len(l) AS n,
+                 CASE WHEN len(l) <= 64 THEN 1
+                      ELSE (len(l) - 64 + 47) // 48 + 1 END AS n_chunks
+          FROM (SELECT source, doc_id,
+                       list_filter({_TOK}, t -> t <> '') AS l
+                FROM documents)),
+        chx AS (
+          SELECT source, doc_id, l, n,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM ch1),
+        ch AS (
+          SELECT 'chunks' AS kind, source AS grp,
+                 CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|' ||
+                   md5(coalesce(array_to_string(l[i*48+1 : i*48+64], ' '), ''))
+                   AS item_id,
+                 CAST(greatest(least(64, n - i*48), 0) AS INT) AS n_units,
+                 CAST(i AS BIGINT) AS bin_id,
+                 CAST(i * 48 AS INT) AS bin_offset
+          FROM chx)
         SELECT * FROM txt UNION ALL SELECT * FROM img
-        UNION ALL SELECT * FROM man
+        UNION ALL SELECT * FROM man UNION ALL SELECT * FROM ch
     """
     out["image_curation"] = values(
         [
@@ -2125,7 +2147,11 @@ def q_pack_sequences(spark, sf):
     (operators/export.py:shard_manifest) over the text assignment —
     column mapping documented there: item_id = shard|content_md5 (the
     numerically-id-ordered md5 that pins shard CONTENT, not just
-    counts), n_units = n_docs, bin_offset = shard token mass."""
+    counts), n_units = n_docs, bin_offset = shard token mass. 'chunks'
+    rows (r6) are the overlapping token-window chunker
+    (corpus.chunk_documents, W=64/S=48 — RAG/context-window prep,
+    map-side only): item_id = doc|idx|md5(chunk text) so the oracle pins
+    the sliced CONTENT, bin_id = chunk index, bin_offset = start."""
     from jobscrawler_spark.generators import gen_curation_images
     from jobscrawler_spark.operators.corpus import pack_image_batches
     from jobscrawler_spark.operators.export import assign_shards, shard_manifest
@@ -2138,6 +2164,23 @@ def q_pack_sequences(spark, sf):
         F.col("n_tokens").alias("n_units"),
         "bin_id",
         "bin_offset",
+    )
+    # 'chunks' (r6): overlapping token-window chunking (W=64, S=48 — the
+    # RAG/context-window prep); item_id pins the CHUNK CONTENT via the
+    # md5 of the sliced tokens, not just the counts
+    from jobscrawler_spark.operators.corpus import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf, "documents"), window=64, stride=48
+    ).select(
+        F.lit("chunks").alias("kind"),
+        F.col("source").alias("grp"),
+        F.concat_ws(
+            "|", F.col("doc_id"), F.col("chunk_idx"), F.md5("chunk_text")
+        ).alias("item_id"),
+        F.col("n_chunk_tokens").alias("n_units"),
+        F.col("chunk_idx").cast("bigint").alias("bin_id"),
+        F.col("start").alias("bin_offset"),
     )
     man = shard_manifest(assigned).select(
         F.lit("manifest").alias("kind"),
@@ -2159,7 +2202,7 @@ def q_pack_sequences(spark, sf):
         "bin_id",
         "bin_offset",
     )
-    return text.unionByName(image).unionByName(man)
+    return text.unionByName(image).unionByName(man).unionByName(chunks)
 
 
 def q_corpus_mix(spark, sf):

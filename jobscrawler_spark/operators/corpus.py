@@ -400,3 +400,51 @@ def hash_split(
         cond = prefix < F.lit(th)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.withColumn("split", expr)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window prep
+    step (fixed window ``W``, stride ``S < W`` so consecutive chunks
+    overlap by ``W - S`` tokens). Output: one row per chunk —
+    (group, id, chunk_idx, start, n_chunk_tokens, chunk_text).
+
+    Chunk starts are 0, S, 2S, ...; a document emits
+    ``1 + ceil((n - W) / S)`` chunks when ``n > W`` (integer arithmetic:
+    ``(n - W + S - 1) div S + 1``), else exactly one (possibly short or
+    empty) chunk — so the final chunk always reaches the last token and
+    no token is dropped.
+
+    Scale shape: pure map-side — tokens split, chunk indexes generated
+    per row (sequence + explode), slices taken in place. ZERO shuffles;
+    the explode fan-out is n/S chunks per doc, the same order as the
+    token fan-out every gram operator pays. Everything is integer
+    arithmetic + string slicing, so the DuckDB oracle repeats it
+    exactly."""
+    toks = tokens_col(F.col(text_col))
+    d = docs.select(
+        F.col(group_col), F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    )
+    n_chunks = F.when(F.col("__n") <= window, F.lit(1)).otherwise(
+        F.expr(f"((__n - {window} + {stride} - 1) div {stride}) + 1").cast("int")
+    )
+    start = (F.col("chunk_idx") * stride).cast("int")
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            group_col,
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.alias("start"),
+            F.greatest(
+                F.least(F.lit(window), F.col("__n") - start), F.lit(0)
+            ).alias("n_chunk_tokens"),
+            F.array_join(F.slice("__t", start + 1, window), " ").alias("chunk_text"),
+        )
+    )

@@ -340,3 +340,49 @@ def test_hash_split_prefix_monotone(spark, sdocs):
     }
     assert small <= big
     assert len(big) > len(small)
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_documents_handcrafted(spark):
+    from jobscrawler_spark.operators.corpus import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, "s", toks), (2, "s", "a b"), (3, "s", "")],
+        "doc_id long, source string, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    )
+    # doc 1: n=10, W=4, S=3 -> n_chunks = ceil((10-4)/3)+1 = 3; starts 0,3,6
+    # (last chunk [6..10) reaches the final token)
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (2, 0, 0, 2, "a b"),
+        (3, 0, 0, 0, ""),
+    ]
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from jobscrawler_spark.operators.corpus import chunk_documents
+
+    n = 101  # (n - W) not divisible by S -> short-tail case
+    df = spark.createDataFrame(
+        [(1, "s", " ".join(f"w{i}" for i in range(n)))],
+        "doc_id long, source string, text string",
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["start"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, window=16, stride=12).collect()
+    )
+    # consecutive chunks overlap by W - S tokens; union covers [0, n)
+    covered = set()
+    for idx, start, k in rows:
+        assert start == idx * 12
+        covered.update(range(start, start + k))
+    assert covered == set(range(n))
+    assert rows[-1][1] + 16 >= n  # final window reaches the last token
