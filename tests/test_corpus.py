@@ -386,3 +386,26 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
         covered.update(range(start, start + k))
     assert covered == set(range(n))
     assert rows[-1][1] + 16 >= n  # final window reaches the last token
+
+
+def test_chunk_documents_plan_is_mapside(spark, sdocs):
+    """SCALING.md claim: chunking is pure map-side — no Exchange, no
+    Join, no Window in the physical plan."""
+    from jobscrawler_spark.operators.corpus import chunk_documents
+
+    plan = (
+        chunk_documents(sdocs.withColumn("text", F.col("source")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("Exchange", "Join", "Window"):
+        assert node not in plan, f"{node} in chunking plan:\n{plan}"
+
+
+def test_epoch_shuffle_never_single_partitions(spark, sdocs):
+    """SCALING.md claim: the ranking window partitions on the 256-way
+    shard key — no SinglePartition Exchange anywhere in the plan."""
+    from jobscrawler_spark.operators.corpus import epoch_shuffle
+
+    plan = epoch_shuffle(sdocs, epoch=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the partitioned window is there

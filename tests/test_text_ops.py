@@ -158,3 +158,15 @@ def test_c4_clean_lines_empty_and_min_words(spark):
         ).collect()
     }
     assert got == {1: "", 2: "one two three four.", 3: ""}
+
+
+def test_c4_clean_lines_plan_is_mapside(spark):
+    from jobscrawler_spark.functions.text import c4_clean_lines
+
+    df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    plan = (
+        df.select(c4_clean_lines(F.col("text")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("Exchange", "Join", "Generate"):
+        assert node not in plan, f"{node} in c4 plan:\n{plan}"
