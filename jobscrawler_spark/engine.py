@@ -57,7 +57,23 @@ from .plans.delta_frontier import DeltaFrontier
 from .plans.tables import SnapshotTable
 from pyspark.sql.types import StructType
 
-from .schemas import FETCH_RESULT, FRONTIER, IMAGES, POLITENESS, ROBOTS, ROUND_METRICS
+from .schemas import (
+    FETCH_RESULT,
+    FRONTIER,
+    HOST_EDGES,
+    IMAGES,
+    POLITENESS,
+    ROBOTS,
+    ROUND_METRICS,
+)
+
+# priority_mode="pagerank" constants (the simulator mirrors them exactly):
+# link priority = (PR_SPAN - host_rank) * 1000 + xxhash64(url) % 1000, an
+# integer-valued double (< 2^53, exactly representable) — central hosts
+# sort first, the hash part breaks ties inside a host band. PR_SPAN equals
+# the pagerank scale, so the band index is always nonnegative.
+PR_SPAN = 10**9
+PR_ITERS = 10
 
 IMAGES_LANDED_COLS = [f.name for f in IMAGES.fields] + [
     "url",
@@ -91,6 +107,7 @@ class CrawlEngine:
         seen_partition_writes: bool = True,
         frontier_partition_writes: bool = True,
         recrawl_after: int | None = None,
+        priority_mode: str = "hash",
     ):
         self.spark = spark
         self.base = base_path
@@ -123,6 +140,21 @@ class CrawlEngine:
         if recrawl_after is not None and recrawl_after < 1:
             raise ValueError("recrawl_after must be >= 1 (or None)")
         self.recrawl_after = recrawl_after
+        # priority_mode="pagerank" (r6): newly discovered links (and
+        # re-crawl re-enqueues) are prioritized by the INTEGER PageRank
+        # of their host over the accumulated post-robots host graph —
+        # central hosts fetched first. The graph is a dimension-sized
+        # snapshot table; the oracle simulator mirrors the exact integer
+        # contract, so fetch-order equivalence still holds bit-for-bit.
+        if priority_mode not in ("hash", "pagerank"):
+            raise ValueError("priority_mode must be 'hash' or 'pagerank'")
+        self.priority_mode = priority_mode
+        self.host_edges = (
+            SnapshotTable(f"{base_path}/host_edges", HOST_EDGES)
+            if priority_mode == "pagerank"
+            else None
+        )
+        self._ranks_cache: tuple[int | None, DataFrame] | None = None
         self.next_round = 0
 
     # ------------------------------------------------------------------ dims
@@ -212,6 +244,56 @@ class CrawlEngine:
             self._n_salts = auto_salt_buckets(max(int(mx), self.default_budget))
         return self._n_salts
 
+    # ------------------------------------------------- pagerank priorities
+    def _host_ranks(self) -> DataFrame | None:
+        """(host, rank) from components.pagerank over the accumulated
+        host graph — recomputed only when the edge table advanced
+        (cached per snapshot id), localCheckpointed because the rank
+        table is dimension-sized (hosts, not URLs) and re-joined by
+        every priority assignment until the next edge append."""
+        snap = self.host_edges.current_snapshot
+        if snap is None:
+            return None
+        if self._ranks_cache is not None and self._ranks_cache[0] == snap:
+            return self._ranks_cache[1]
+        from .operators.components import pagerank
+
+        edges = self.host_edges.read(self.spark).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        if edges.isEmpty():
+            self._ranks_cache = (snap, None)
+            return None
+        ranks = pagerank(edges, iters=PR_ITERS, scale=PR_SPAN).select(
+            F.col("node").alias("host"), "rank"
+        ).localCheckpoint()
+        self._ranks_cache = (snap, ranks)
+        return ranks
+
+    def _link_priority(self, links: DataFrame) -> DataFrame:
+        """Assign the link-rule priority. hash mode: xxhash64 % 1e6 / 1e6
+        (the r1 rule). pagerank mode: the PR_SPAN band formula over the
+        CURRENT rank table (hosts never seen in the graph rank 0 — their
+        links sort behind every ranked host, ahead of nothing)."""
+        if self.priority_mode == "hash":
+            return links.withColumn(
+                "priority",
+                F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double")
+                / 1_000_000.0,
+            )
+        ranks = self._host_ranks()
+        if ranks is not None:
+            links = links.join(F.broadcast(ranks), "host", "left")
+        else:
+            links = links.withColumn("rank", F.lit(None).cast("long"))
+        return links.withColumn(
+            "priority",
+            (
+                (F.lit(PR_SPAN) - F.coalesce(F.col("rank"), F.lit(0))) * 1000
+                + F.pmod(F.col("url_hash"), F.lit(1000))
+            ).cast("double"),
+        ).drop("rank")
+
     # ----------------------------------------------------------- round loop
     def _seen_min_round(self) -> int | None:
         """Oldest round_added still blocking (re-crawl mode): rows from
@@ -234,12 +316,12 @@ class CrawlEngine:
         if expired is None:
             return
         try:
+            # pagerank mode: re-enqueues use the rank table as of the
+            # PREVIOUS round's edges (this runs before the round fetches;
+            # the simulator applies the same ordering)
             renew = (
-                expired.withColumn("host", host_col(F.col("url")))
-                .withColumn(
-                    "priority",
-                    F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double")
-                    / 1_000_000.0,
+                self._link_priority(
+                    expired.withColumn("host", host_col(F.col("url")))
                 )
                 .withColumn("depth", F.lit(0))
                 .withColumn("not_before_round", F.lit(r))
@@ -326,14 +408,28 @@ class CrawlEngine:
             # and no other URL's membership changes within the round.
             links = (
                 fetched.filter(F.col("status") == 200)
-                .select(F.explode("outlinks").alias("url"), (F.col("depth") + 1).alias("depth"))
+                .select(
+                    F.col("host").alias("__src_host"),
+                    F.explode("outlinks").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
             )
             links = with_canonical(links, n_shards=self.n_shards)
             links = robots_gate(links, self._robots())
-            links = links.withColumn(
-                "priority",
-                F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double") / 1_000_000.0,
-            )
+            if self.priority_mode == "pagerank":
+                # accumulate this round's post-robots host edges (BEFORE
+                # any dedupe: a link to an already-seen URL still votes
+                # for its host), then rank with the fresh graph
+                new_edges = (
+                    links.select(
+                        F.col("__src_host").alias("src_host"),
+                        F.col("host").alias("dst_host"),
+                    )
+                    .filter(F.col("src_host") != F.col("dst_host"))
+                    .distinct()
+                )
+                self.host_edges.append(new_edges, {"round": r})
+            links = self._link_priority(links.drop("__src_host"))
             links = links.join(
                 fetched.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
             )
@@ -477,6 +573,9 @@ class CrawlEngine:
             "seen": self.seen.seen.current_snapshot,
             "bloom": self.seen.bloom.current_snapshot,
         }
+        if self.host_edges is not None:
+            state["host_edges"] = self.host_edges.current_snapshot
+            state["priority_mode"] = self.priority_mode
         tmp = self._ckpt_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -486,9 +585,15 @@ class CrawlEngine:
     def resume(cls, spark: SparkSession, base_path: str, **kwargs) -> "CrawlEngine":
         """Reload from checkpoint.json, rolling back any post-checkpoint
         table writes (a crash mid-round leaves orphan snapshots)."""
-        eng = cls(spark, base_path, **kwargs)
-        with open(eng._ckpt_path()) as f:
+        with open(os.path.join(base_path, "checkpoint.json")) as f:
             state = json.load(f)
+        # the checkpoint remembers the priority mode, so resume callers
+        # don't have to repeat it (an explicit kwarg still wins)
+        if "priority_mode" in state:
+            kwargs.setdefault("priority_mode", state["priority_mode"])
+        eng = cls(spark, base_path, **kwargs)
+        if eng.host_edges is not None:
+            eng.host_edges.rollback_to(state.get("host_edges"))  # None = drop all
         eng.frontier.rollback_to(state["frontier"])  # dict of 3 table ids
         eng.images.rollback_to(state["images"])
         eng.metrics.rollback_to(state["metrics"])

@@ -166,6 +166,7 @@ def pagerank(
     trade; hot in-degree skew (everyone links the same host) is absorbed
     by the partial aggregation (map-side combine on dst), never a
     row-explosion."""
+    # node ids may be any equi-joinable type (user ids, host strings)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint()
     nodes = (

@@ -745,3 +745,38 @@ def train_bigram_lm_independent(
     )
     backs = sorted((w, round(math.log2(n + v) * scale)) for w, n in uni.items())
     return pairs, backs, round(math.log2(v) * scale)
+
+
+def pagerank_py(
+    edges: set[tuple],
+    iters: int = 10,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> dict:
+    """Pure-Python port of components.pagerank's INTEGER contract (init =
+    scale // n; contrib(v) = sum of rank(u) // outdeg(u) over distinct
+    in-edges; share = dangling mass // n; rank' = base +
+    damping*(contrib+share) // 100). Integer sums are order-free, so this
+    equals the distributed aggregation bit-for-bit — which is what lets
+    the oracle simulator reproduce pagerank-prioritized fetch ordering
+    exactly."""
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    outdeg: dict = {}
+    for s, _ in es:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    init = scale // n
+    base = (init * (100 - damping_pct)) // 100
+    rank = {u: init for u in nodes}
+    for _ in range(iters):
+        contrib = {u: 0 for u in nodes}
+        for s, d in es:
+            contrib[d] += rank[s] // outdeg[s]
+        share = sum(rank[u] for u in nodes if u not in outdeg) // n
+        rank = {
+            u: base + (damping_pct * (contrib[u] + share)) // 100 for u in nodes
+        }
+    return rank

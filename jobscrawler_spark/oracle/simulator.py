@@ -48,6 +48,11 @@ class OracleCrawler:
     max_depth: int = 2
     n_shards: int = 16
     recrawl_after: int | None = None  # re-crawl policy (r5): forget + re-enqueue
+    # priority_mode="pagerank" (r6): mirrors CrawlEngine — link priority =
+    # (PR_SPAN - integer host rank) * 1000 + xxhash64(url) % 1000 over the
+    # accumulated post-robots host graph (expected.pagerank_py)
+    priority_mode: str = "hash"
+    host_edges: set = field(default_factory=set)
     frontier: dict[str, FrontierEntry] = field(default_factory=dict)
     seen: set[str] = field(default_factory=set)
     # url -> round fetched (drives the re-crawl expiry; seen stays a set
@@ -90,9 +95,19 @@ class OracleCrawler:
             return True
         return max(applicable)[2]  # (len, prefix, allow) — same as array_max
 
-    @staticmethod
-    def _priority_of(url: str) -> float:
-        return (spark_xxhash64_str(url) % 1_000_000) / 1_000_000.0
+    def _priority_of(self, url: str) -> float:
+        h = spark_xxhash64_str(url)
+        if self.priority_mode == "hash":
+            return (h % 1_000_000) / 1_000_000.0
+        # pagerank band formula — float(int <= ~1e12) is exact, matching
+        # the engine's integer-valued-double cast (engine.PR_SPAN)
+        rank = getattr(self, "_ranks", {}).get(host_py(url), 0)
+        return float((10**9 - rank) * 1000 + h % 1000)
+
+    def _recompute_ranks(self) -> None:
+        from .expected import pagerank_py
+
+        self._ranks = pagerank_py(self.host_edges)
 
     # -- lifecycle -----------------------------------------------------------
     def bootstrap(self, seeds: pd.DataFrame) -> None:
@@ -169,9 +184,21 @@ class OracleCrawler:
                     link = canonicalize_py(raw)
                     if not self._allowed(link):
                         continue
+                    if self.priority_mode == "pagerank":
+                        # post-robots host edge, BEFORE any dedupe (a
+                        # link to an already-seen URL still votes for
+                        # its host) — mirrors the engine's edge append
+                        src_h, dst_h = host_py(url), host_py(link)
+                        if src_h != dst_h:
+                            self.host_edges.add((src_h, dst_h))
                     d = depth + 1
                     new_links[link] = min(new_links.get(link, d), d)
             del self.frontier[url]
+
+        # pagerank mode: new links rank against the graph INCLUDING this
+        # round's edges (the engine appends, then prioritizes)
+        if self.priority_mode == "pagerank":
+            self._recompute_ranks()
 
         # crawl-delay pushback for hosts fetched this round
         for url, e in self.frontier.items():

@@ -98,6 +98,17 @@ FRONTIER_DELAY = StructType(
     ]
 )
 
+# Host link graph (priority_mode="pagerank"): distinct post-robots
+# (source host -> target host) edges observed across rounds — a
+# dimension-sized table (hosts, not URLs) feeding the integer PageRank
+# that prioritizes newly discovered links by host centrality.
+HOST_EDGES = StructType(
+    [
+        StructField("src_host", StringType(), False),
+        StructField("dst_host", StringType(), False),
+    ]
+)
+
 SEEN_SET = StructType(
     [
         StructField("url_hash", LongType(), False),
