@@ -160,10 +160,13 @@ def q_j2_broadcast_dim_join(spark, sf):
 
 
 def q_gram_frequency(spark, sf):
-    """J3/W3 + A7 in ONE gate (merged r4 for the 50-entry window):
-    adjacent-token bigram frequencies (the reference's two-token compound
-    lookup) UNION token frequencies (the tag-frequency analysis), tagged
-    by kind — both explode+count plans execute."""
+    """J3/W3 + A7 + tf-idf keywords in ONE gate (merged r4/r6 for the
+    50-entry window): adjacent-token bigram frequencies (the reference's
+    two-token compound lookup) UNION token frequencies (the tag-frequency
+    analysis) UNION hashing-trick tf-idf top-3 keywords per doc
+    (operators/corpus.tfidf_keywords — bounded-bucket idf broadcast as a
+    driver-built literal, integer scoring), tagged by kind — all three
+    plans execute."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     bigrams = F.filter(
@@ -188,7 +191,16 @@ def q_gram_frequency(spark, sf):
         .filter(F.col("n") >= 50)
         .select(F.lit("token").alias("kind"), "gram", "n")
     )
-    return bi.unionByName(tok)
+    from jobscrawler_spark.operators.corpus import tfidf_keywords
+
+    kw = tfidf_keywords(d).select(
+        F.lit("tfidf").alias("kind"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("token")).alias(
+            "gram"
+        ),
+        F.col("score").alias("n"),
+    )
+    return bi.unionByName(tok).unionByName(kw)
 
 
 def q_f_clean_chain(spark, sf):
@@ -416,8 +428,13 @@ def q_s_robots_parse(spark, sf):
     breaking a group; 'ref' rows are those Sitemap records
     (frontier.parse_robots_sitemaps); 'url'/'index' rows parse the
     referenced sitemap XMLs (strategies.parse_sitemap: <urlset> entries
-    with optional <lastmod>, <sitemapindex> children). Oracle: same
-    bodies inlined as VALUES, same parses in DuckDB SQL."""
+    with optional <lastmod>, <sitemapindex> children); 'urlfilter' rows
+    (r6) are the pre-fetch URL-quality gate (functions/urls.
+    url_quality_score — integer penalty contract: spam words, length,
+    IP/digit/hyphen hosts, path depth, param spray, blocklist) over the
+    eight-class planted fixture, item = url, allow = keep, lastmod =
+    score. Oracle: same bodies/urls inlined as VALUES, same parses and
+    scoring in DuckDB SQL."""
     from jobscrawler_spark.generators import gen_sitemap_bodies
     from jobscrawler_spark.operators.frontier import (
         parse_robots_sitemaps,
@@ -447,11 +464,28 @@ def q_s_robots_parse(spark, sf):
     sm = parse_sitemap(sbd).select(
         "host", "kind", F.col("loc").alias("item"), null_b.alias("allow"), "lastmod"
     )
-    return rules.unionByName(refs).unionByName(sm)
+    from jobscrawler_spark.functions.urls import url_quality_filter
+    from jobscrawler_spark.generators import gen_filter_urls
+
+    uf = url_quality_filter(
+        spark.createDataFrame(gen_filter_urls(128), "url string")
+    ).select(
+        "host",
+        F.lit("urlfilter").alias("kind"),
+        F.col("url").alias("item"),
+        F.col("keep").alias("allow"),
+        F.col("score").cast("string").alias("lastmod"),
+    )
+    return rules.unionByName(refs).unionByName(sm).unionByName(uf)
 
 
 def _robots_parse_oracle() -> str:
-    from jobscrawler_spark.generators import gen_sitemap_bodies
+    from jobscrawler_spark.functions.urls import (
+        BLOCKLIST_HOSTS,
+        SPAM_WORDS,
+        URL_SCORE_THRESHOLD,
+    )
+    from jobscrawler_spark.generators import gen_filter_urls, gen_sitemap_bodies
 
     def q(s) -> str:
         return "'" + str(s).replace("'", "''") + "'"
@@ -459,9 +493,39 @@ def _robots_parse_oracle() -> str:
     rb, sb = gen_sitemap_bodies(8, seed=5)
     body_rows = ",\n".join(f"({q(r.host)}, {q(r.body)})" for r in rb.itertuples())
     sm_rows = ",\n".join(f"({q(r.host)}, {q(r.body)})" for r in sb.itertuples())
+    url_rows = ",\n".join(f"({q(r.url)})" for r in gen_filter_urls(128).itertuples())
+    spam_pred = " OR ".join(f"contains(lower(url), {q(w)})" for w in SPAM_WORDS)
+    bl = ", ".join(q(h) for h in BLOCKLIST_HOSTS)
     return rf"""
         WITH b(host, body) AS (VALUES {body_rows}),
         smb(host, body) AS (VALUES {sm_rows}),
+        uf(url) AS (VALUES {url_rows}),
+        ufh AS (
+          SELECT url, lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+          FROM uf),
+        ufs AS (
+          SELECT host, url, CAST(
+            (CASE WHEN {spam_pred} THEN 4 ELSE 0 END)
+            + (CASE WHEN len(url) > 160 THEN 2 ELSE 0 END)
+            + (CASE WHEN regexp_matches(host,
+                   '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') THEN 2 ELSE 0 END)
+            + (CASE WHEN len(regexp_replace(host, '[^0-9]', '', 'g')) * 10
+                   >= 3 * len(host) THEN 2 ELSE 0 END)
+            + (CASE WHEN len(string_split(url, '/')) - 1 >= 10 THEN 1 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN contains(url, '?')
+                   THEN len(string_split(string_split(url, '?')[2], '&'))
+                   ELSE 0 END) > 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN len(host) - len(replace(host, '-', '')) > 3
+                   THEN 1 ELSE 0 END)
+            + (CASE WHEN host IN ({bl}) THEN 100 ELSE 0 END)
+          AS INT) AS score
+          FROM ufh),
+        ufrows AS (
+          SELECT host, 'urlfilter' AS kind, url AS item,
+                 (score < {URL_SCORE_THRESHOLD}) AS allow,
+                 CAST(score AS VARCHAR) AS lastmod
+          FROM ufs),
         split AS (SELECT host, string_split_regex(body, '\r?\n') AS l FROM b),
         lines AS (
           SELECT host, generate_subscripts(l, 1) AS pos,
@@ -519,6 +583,7 @@ def _robots_parse_oracle() -> str:
         SELECT * FROM rules
         UNION ALL SELECT * FROM refs
         UNION ALL SELECT * FROM smrows
+        UNION ALL SELECT * FROM ufrows
     """
 
 
@@ -597,6 +662,62 @@ def _corpus_filter_oracle(sf_dir: str) -> str:
         LEFT JOIN ppl pp ON pp.doc_id = f.doc_id
         WHERE l.pred_lang = 'en' AND f.quality >= 0.7 AND m.ml_logit >= 0
           AND coalesce(pp.ppl_scaled, {lm_unk}) <= {PPL_THRESHOLD}
+    """
+
+
+def _gram_frequency_oracle(sf_dir: str) -> str:
+    """gram_frequency's SQL with the r6 'tfidf' kind: the bucket-idf table
+    independently re-derived from the oracle-scale texts
+    (oracle/expected.py:tfidf_idf_independent — hashlib.md5 buckets +
+    Python-round scaled-integer idf, no Spark) and inlined as a VALUES
+    table; scoring is then integer tf * idf_scaled, bit-identical to the
+    broadcast-literal join in operators/corpus.tfidf_keywords."""
+    import duckdb as _ddb
+
+    from jobscrawler_spark.operators.corpus import TFIDF_BUCKETS, TFIDF_SCALE
+    from jobscrawler_spark.oracle.expected import tfidf_idf_independent
+
+    texts = [
+        r[0]
+        for r in _ddb.sql(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    idf_rows = ",\n          ".join(
+        f"({b}, {v})" for b, v in tfidf_idf_independent(texts, TFIDF_BUCKETS, TFIDF_SCALE)
+    )
+    return rf"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents),
+        z AS (SELECT doc_id, unnest(list_zip(l, l[2:])) AS z FROM toks),
+        bi AS (
+          SELECT 'bigram' AS kind, z[1] || ' ' || z[2] AS gram, count(*) AS n
+          FROM z WHERE z[2] IS NOT NULL
+          GROUP BY 2 HAVING count(*) >= 20),
+        tok AS (
+          SELECT 'token' AS kind, token AS gram, count(*) AS n
+          FROM (SELECT unnest({_TOK}) AS token FROM documents)
+          WHERE token <> '' GROUP BY 2 HAVING count(*) >= 50),
+        tfb AS (
+          SELECT doc_id, token, count(*) AS tf,
+                 CAST(('0x' || substr(md5(token), 1, 4)) AS INT)
+                   % {TFIDF_BUCKETS} AS bucket
+          FROM (SELECT doc_id, unnest({_TOK}) AS token FROM documents)
+          WHERE token <> ''
+          GROUP BY 1, 2, 4),
+        idf(bucket, idf_scaled) AS (VALUES
+          {idf_rows}),
+        kw AS (
+          SELECT doc_id, token, tf * idf_scaled AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf * idf_scaled DESC, token) AS rn
+          FROM tfb JOIN idf USING (bucket))
+        SELECT kind, gram, n FROM bi
+        UNION ALL
+        SELECT kind, gram, n FROM tok
+        UNION ALL
+        SELECT 'tfidf' AS kind, CAST(doc_id AS VARCHAR) || ':' || token AS gram,
+               CAST(score AS BIGINT) AS n
+        FROM kw WHERE rn <= 3
     """
 
 
@@ -2265,17 +2386,20 @@ def q_text_bpe(spark, sf):
 
 
 def q_multimodal_pipeline(spark, sf):
-    """ALL FIVE multimodal pipelines in ONE gate (merged r4 for the
-    50-entry window; scene-cut + scene-dup branches added r5), kind-tagged
-    and fingerprinted to a common shape: image decode + feature
-    extraction, video vraw demux + every-5th-frame PNG re-encode, audio
-    pcm16 waveform features, scene-cut detection + keyframe attribution
-    over scene-structured clips (multimodal.detect_scene_cuts —
-    INTEGER-EXACT luma-delta contract, per-frame phash feeding keyframe
-    dedup), and cross-video duplicate-scene stats over the shared-scene
-    fixture (multimodal.scene_dup_stats — keyframe phashes through the
-    banded Hamming LSH; the oracle recompute runs EXACT all-pairs, so the
-    match re-validates the pigeonhole recall guarantee) — each
+    """ALL SIX multimodal pipelines in ONE gate (merged r4 for the
+    50-entry window; scene-cut + scene-dup branches added r5, watermark
+    detection r6), kind-tagged and fingerprinted to a common shape: image
+    decode + feature extraction, video vraw demux + every-5th-frame PNG
+    re-encode, audio pcm16 waveform features, scene-cut detection +
+    keyframe attribution over scene-structured clips
+    (multimodal.detect_scene_cuts — INTEGER-EXACT luma-delta contract,
+    per-frame phash feeding keyframe dedup), cross-video duplicate-scene
+    stats over the shared-scene fixture (multimodal.scene_dup_stats —
+    keyframe phashes through the banded Hamming LSH; the oracle recompute
+    runs EXACT all-pairs, so the match re-validates the pigeonhole recall
+    guarantee), and spread-spectrum watermark detection over the planted
+    fixture (multimodal.detect_watermarks — integer correlation contract,
+    pure-Python oracle recompute) — each
     mapInPandas over binary columns with the engine's own codecs
     (external codecs are honest stubs). HASH-GREEN since r5:
     oracle/expected.py recomputes every branch with fresh
@@ -2390,7 +2514,35 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
-    out = img.unionByName(vid).unionByName(aud).unionByName(sc).unionByName(dup)
+    from jobscrawler_spark.generators import gen_wm_images
+    from jobscrawler_spark.operators.multimodal import detect_watermarks
+
+    wm_images = spark.createDataFrame(
+        gen_wm_images(48), "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    wm = detect_watermarks(wm_images).select(
+        F.lit("watermark").alias("kind"),
+        F.col("image_id").alias("media_id"),
+        F.col("key_id").alias("idx"),
+        "w",
+        "h",
+        "fmt",
+        F.col("corr_scaled").cast("double").alias("metric"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "corr_scaled",
+                F.when(F.col("watermarked"), F.lit(1)).otherwise(F.lit(0)),
+            )
+        ).alias("fingerprint"),
+    )
+    out = (
+        img.unionByName(vid)
+        .unionByName(aud)
+        .unionByName(sc)
+        .unionByName(dup)
+        .unionByName(wm)
+    )
     return spark.createDataFrame(out.collect(), out.schema)
 
 
@@ -2852,6 +3004,17 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
             f"cannot read {sf_dir}/documents.parquet ({e})",
             file=_sys.stderr,
         )
+    try:
+        out["gram_frequency"] = _gram_frequency_oracle(sf_dir)
+    except (OSError, _ddb.Error) as e:
+        # the static bi/tok-only SQL would hash-mismatch the Spark side's
+        # tfidf kind — drop the entry so the gate degrades to rows-only
+        out.pop("gram_frequency", None)
+        print(
+            f"[oracle_sql] gram_frequency degraded to rows-only: "
+            f"cannot read {sf_dir}/documents.parquet ({e})",
+            file=_sys.stderr,
+        )
     # fixture-driven end-to-end oracles (sf-independent; no degrade path —
     # a failure here is a bug in the recompute and must surface)
     out.update(_e2e_fixture_oracles())
@@ -2896,21 +3059,8 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        "gram_frequency": f"""
-            WITH toks AS (SELECT doc_id, {_TOK} AS l FROM documents),
-            z AS (SELECT doc_id, unnest(list_zip(l, l[2:])) AS z FROM toks),
-            bi AS (
-              SELECT 'bigram' AS kind, z[1] || ' ' || z[2] AS gram, count(*) AS n
-              FROM z WHERE z[2] IS NOT NULL
-              GROUP BY 2 HAVING count(*) >= 20),
-            tok AS (
-              SELECT 'token' AS kind, token AS gram, count(*) AS n
-              FROM (SELECT unnest({_TOK}) AS token FROM documents)
-              WHERE token <> '' GROUP BY 2 HAVING count(*) >= 50)
-            SELECT kind, gram, n FROM bi
-            UNION ALL
-            SELECT kind, gram, n FROM tok
-        """,
+        # gram_frequency lives in _gram_frequency_oracle (data-dependent
+        # tfidf VALUES table since r6)
         "f_clean_chain": r"""
             SELECT 'reference' AS kind, doc_id, trim(
               regexp_replace(

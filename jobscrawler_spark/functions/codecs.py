@@ -291,3 +291,56 @@ def phash(img: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Spread-spectrum watermark (Cox et al. 1997, integer spatial-domain form)
+# ---------------------------------------------------------------------------
+
+WM_STRENGTH = 6
+WM_SCALE = 1000
+
+
+def wm_pattern(key: int, w: int, h: int) -> np.ndarray:
+    """Keyed +-1 pattern, shape (h, w, 3) int16 — the spread-spectrum
+    carrier. INTEGER CONTRACT (the oracle recompute repeats it in pure
+    Python, so it is part of the operator's correctness surface):
+
+        idx  = C-order flat pixel index (channel-fastest)
+        v0   = (idx * 2654435761 + key * 40503)      mod 2^32
+        v1   = (v0 * 2246822519)                     mod 2^32
+        v2   = v1 XOR (v1 >> 15)
+        sign = +1 if (v2 >> 16) & 1 else -1
+
+    Multiply-shift hashing, so the pattern carries no spatial structure
+    to alias with image content, and distinct keys give near-orthogonal
+    carriers."""
+    idx = np.arange(h * w * 3, dtype=np.uint32)
+    v = idx * np.uint32(2654435761) + np.uint32(key & 0xFFFFFFFF) * np.uint32(40503)
+    v = v * np.uint32(2246822519)
+    v = v ^ (v >> np.uint32(15))
+    sign = ((v >> np.uint32(16)) & np.uint32(1)).astype(np.int16) * 2 - 1
+    return sign.reshape(h, w, 3)
+
+
+def embed_watermark(img: np.ndarray, key: int, strength: int = WM_STRENGTH) -> np.ndarray:
+    """clip(img + strength * pattern(key)) — whole-array numpy, uint8 out."""
+    h, w, _ = img.shape
+    marked = img.astype(np.int16) + strength * wm_pattern(key, w, h)
+    return np.clip(marked, 0, 255).astype(np.uint8)
+
+
+def wm_corr_scaled(img: np.ndarray, key: int, scale: int = WM_SCALE) -> int:
+    """Per-pixel watermark correlation, scaled-integer: the detection
+    statistic ``(sum(pixel * sign) * scale) // n_values`` (Python floor
+    division — exact, order-free integer sum, no float crosses engines).
+    ~= strength * scale when the image carries pattern(key); zero-mean
+    noise of order 255 * scale / sqrt(n) otherwise."""
+    h, w, _ = img.shape
+    corr = int((img.astype(np.int64) * wm_pattern(key, w, h).astype(np.int64)).sum())
+    return (corr * scale) // int(img.size)
+
+
+def wm_detect_threshold(strength: int = WM_STRENGTH, scale: int = WM_SCALE) -> int:
+    """Decision threshold: half the expected watermarked statistic."""
+    return strength * scale // 2

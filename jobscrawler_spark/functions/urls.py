@@ -94,3 +94,108 @@ def canonicalize_py(url: str) -> str:
 
 def host_py(url: str) -> str:
     return (urlsplit(url).hostname or "").lower()
+
+
+# ---------------------------------------------------------------------------
+# URL quality filtering (the CCNet/RefinedWeb first-stage URL gate)
+# ---------------------------------------------------------------------------
+
+SPAM_WORDS = ("casino", "viagra", "porn", "gambling", "payday-loan", "escort")
+BLOCKLIST_HOSTS = ("malware.example.com", "spam-mill.example.net")
+URL_SCORE_THRESHOLD = 4
+
+
+def _uf_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+
+
+def url_quality_score(
+    url: Column, blocklist: tuple[str, ...] = BLOCKLIST_HOSTS
+) -> tuple[Column, Column]:
+    """(host, score) for a URL — the pre-fetch URL-quality gate every
+    public web pipeline runs FIRST (CCNet, RefinedWeb, DataComp: URL
+    filtering is cheaper than fetching, so it goes before the frontier).
+    INTEGER penalty contract (each term deterministic string arithmetic,
+    repeated verbatim by the DuckDB oracle — no regex feature outside the
+    RE2-safe subset):
+
+        +4  spam word substring in lower(url)      (SPAM_WORDS)
+        +2  len(url) > 160
+        +2  IP-literal host
+        +2  digit-heavy host (10 * digits >= 3 * len(host))
+        +1  deep path (>= 10 '/' in the url)
+        +1  > 3 query params
+        +1  > 3 hyphens in host
+        +100 blocklisted host (broadcast-sized dimension in production;
+             a plan literal here)
+
+    keep iff score < URL_SCORE_THRESHOLD."""
+    lurl = F.lower(url)
+    host = _uf_host(url)
+    spam = F.lit(False)
+    for w in SPAM_WORDS:
+        spam = spam | lurl.contains(w)
+    digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    hyphens = F.length(host) - F.length(F.regexp_replace(host, r"-", ""))
+    slashes = F.size(F.split(url, r"/")) - 1
+    # F.get (0-based, NULL out-of-bounds) not element_at: ANSI-safe even
+    # though the when() guard already keeps '?'-less rows out of the branch
+    n_params = F.when(
+        url.contains("?"), F.size(F.split(F.get(F.split(url, r"\?"), 1), r"&"))
+    ).otherwise(F.lit(0))
+    score = (
+        F.when(spam, 4).otherwise(0)
+        + F.when(F.length(url) > 160, 2).otherwise(0)
+        + F.when(host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"), 2).otherwise(0)
+        + F.when(digits * 10 >= F.length(host) * 3, 2).otherwise(0)
+        + F.when(slashes >= 10, 1).otherwise(0)
+        + F.when(n_params > 3, 1).otherwise(0)
+        + F.when(hyphens > 3, 1).otherwise(0)
+        + F.when(host.isin(*blocklist), 100).otherwise(0)
+    )
+    return host, score.cast("int")
+
+
+def url_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: tuple[str, ...] = BLOCKLIST_HOSTS,
+    threshold: int = URL_SCORE_THRESHOLD,
+) -> DataFrame:
+    """(host, url, score, keep) — pure Catalyst, zero shuffles; runs
+    upstream of the frontier so junk never costs a fetch. The blocklist
+    is a bounded dimension (broadcast in production; a literal IN-list
+    here — same plan shape as the location dim join)."""
+    host, score = url_quality_score(F.col(url_col), blocklist)
+    return df.select(
+        host.alias("host"),
+        F.col(url_col).alias("url"),
+        score.alias("score"),
+        (score < threshold).alias("keep"),
+    )
+
+
+def url_quality_score_py(
+    url: str, blocklist: tuple[str, ...] = BLOCKLIST_HOSTS
+) -> tuple[str, int]:
+    """Plain-Python reference of url_quality_score (property tests)."""
+    import re
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", url)
+    host = (m.group(1) if m else "").lower()
+    lurl = url.lower()
+    digits = len(re.sub(r"[^0-9]", "", host))
+    hyphens = host.count("-")
+    slashes = url.count("/")
+    n_params = len(url.split("?")[1].split("&")) if "?" in url else 0
+    score = (
+        (4 if any(w in lurl for w in SPAM_WORDS) else 0)
+        + (2 if len(url) > 160 else 0)
+        + (2 if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", host) else 0)
+        + (2 if digits * 10 >= 3 * len(host) else 0)
+        + (1 if slashes >= 10 else 0)
+        + (1 if n_params > 3 else 0)
+        + (1 if hyphens > 3 else 0)
+        + (100 if host in blocklist else 0)
+    )
+    return host, score

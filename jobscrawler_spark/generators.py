@@ -370,6 +370,76 @@ def gen_scene_videos(
     return pd.DataFrame(rows)
 
 
+def wm_image_pixels(i: int, seed: int = 42) -> tuple["np.ndarray", int]:
+    """(pixels, planted_key) for watermark-fixture image ``i`` — every
+    fourth image clean (key 0 = none), the rest carry one of the three
+    candidate keys via codecs.embed_watermark. 48-64 px per side so the
+    clean-image correlation noise (~255*scale/sqrt(n)) sits well under
+    the detection threshold. Shared by gen_wm_images (container side)
+    and oracle/expected.py:watermark_rows (fresh detection recompute):
+    fixture construction is INPUT, not computation."""
+    d = url_digest(f"wmimg:{seed}:{i}")
+    w, h = 48 + (d >> 8) % 17, 48 + (d >> 16) % 17
+    img = codecs.synth_pixels(d, int(w), int(h))
+    key = i % 4  # 0 = clean; 1..3 = candidate keys
+    if key:
+        img = codecs.embed_watermark(img, key)
+    return img, key
+
+
+def gen_wm_images(n: int = 48, seed: int = 42) -> pd.DataFrame:
+    """Deterministic watermark-detection fixture: (image_id, bytes, w, h,
+    fmt) raw-coded images, 3/4 of them spread-spectrum-marked."""
+    rows = []
+    for i in range(n):
+        img, _key = wm_image_pixels(i, seed)
+        rows.append(
+            {
+                "image_id": f"wm{i:04d}",
+                "bytes": codecs.encode_raw(img),
+                "w": int(img.shape[1]),
+                "h": int(img.shape[0]),
+                "fmt": "raw",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_filter_urls(n: int = 128, seed: int = 42) -> pd.DataFrame:
+    """Deterministic URL-quality-filter fixture: one column (url), eight
+    planted classes by i % 8 — 0/1 clean, 2 spam word, 3 over-length,
+    4 deep path + param spray, 5 IP-literal host, 6 blocklisted host,
+    7 hyphen+digit host. Drives the 'urlfilter' kind of s_robots_parse;
+    the oracle repeats the scoring SQL over the same VALUES rows."""
+    rows = []
+    for i in range(n):
+        d = url_digest(f"uf:{seed}:{i}")
+        cls = i % 8
+        if cls in (0, 1):
+            u = f"http://site{d % 64}.example.com/cat{d % 7}/item{d % 97}?page={d % 5}"
+        elif cls == 2:
+            u = f"http://site{d % 64}.example.com/best-casino-bonus/{d % 97}"
+        elif cls == 3:
+            u = (
+                f"http://site{d % 64}.example.com/"
+                + "/".join(f"segment{(d >> j) % 1000}" for j in range(0, 24, 2))
+                + "?" + "&".join(f"k{j}=v{(d >> j) % 100}" for j in range(8))
+            )
+        elif cls == 4:
+            u = (
+                f"http://site{d % 64}.example.com/"
+                + "/".join(f"s{(d >> j) % 10}" for j in range(0, 20, 2))
+            )
+        elif cls == 5:
+            u = f"http://10.{d % 256}.{(d >> 8) % 256}.{(d >> 16) % 256}/p/{d % 97}"
+        elif cls == 6:
+            u = f"http://malware.example.com/x/{d % 97}"
+        else:
+            u = f"http://w1-w2-w3-w4-{d % 100}{(d >> 8) % 100}.example.org/p"
+        rows.append({"url": u})
+    return pd.DataFrame(rows)
+
+
 def gen_audio(n: int = 48, seed: int = 42) -> pd.DataFrame:
     """Deterministic pcm16 waveforms: (audio_id, bytes, fmt)."""
     rows = []

@@ -448,3 +448,112 @@ def chunk_documents(
             F.array_join(F.slice("__t", start + 1, window), " ").alias("chunk_text"),
         )
     )
+
+
+TFIDF_BUCKETS = 1024
+TFIDF_SCALE = 1000
+
+
+def tfidf_idf_table(
+    bucket_df: list[tuple[int, int]], n_docs: int, scale: int = TFIDF_SCALE
+) -> list[tuple[int, int]]:
+    """(bucket, idf_scaled) rows from (bucket, df) rows — the scaled-integer
+    idf contract (the functions/lm.py pattern: the transcendental runs ONCE
+    per bucket on the driver over a BOUNDED table, never near the data):
+
+        idf_scaled = round((ln((N + 1) / (df + 1)) + 1) * scale)
+
+    (smooth idf, Python banker's round — the oracle recompute
+    oracle/expected.py:tfidf_idf_independent re-derives the same table from
+    the raw texts without touching this code)."""
+    import math
+
+    return [
+        (int(b), int(round((math.log((n_docs + 1) / (df + 1)) + 1.0) * scale)))
+        for b, df in sorted(bucket_df)
+    ]
+
+
+def tfidf_bucket_col(token: Column, n_buckets: int = TFIDF_BUCKETS) -> Column:
+    """Hashing-trick bucket for a token: first 4 md5 hex chars as an int,
+    mod ``n_buckets`` — the MLlib HashingTF idea with an md5 hash both
+    engines share bit-for-bit (DuckDB: CAST(('0x' || substr(md5(t),1,4))
+    AS INT) % n)."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 4), 16, 10).cast("int") % n_buckets
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = TFIDF_BUCKETS,
+    top_k: int = 3,
+    scale: int = TFIDF_SCALE,
+) -> DataFrame:
+    """Hashing-trick tf-idf keyword extraction: the top-``top_k`` tokens
+    per document by ``tf * idf_scaled``, where idf is pooled per hash
+    BUCKET (``n_buckets`` bounded), not per raw term. Output:
+    (id, token, tf, score, rn), rn in [1, top_k], ordered by
+    (score DESC, token ASC) within a document.
+
+    Why buckets: a per-term idf table is vocabulary-sized (10^9+ terms at
+    100 TB) — joining it back to the (doc, token) side is a vocab-scale
+    shuffle join. The hashing trick (MLlib HashingTF; Weinberger et al.
+    2009) pools document frequency per bucket instead: the idf table is
+    ≤ ``n_buckets`` rows, small enough to compute driver-side (the
+    quality_model weights-as-literal pattern) and ride the plan as a
+    broadcast join. Colliding terms share an idf estimate — the standard,
+    documented trade; raise ``n_buckets`` to taste (bounded by 65536 with
+    the 4-hex-char hash).
+
+    Scale shape (100 TB): one explode (the same fan-out every gram
+    operator pays), one uniform-key (doc, token) groupBy for tf, one
+    uniform-key bucket agg for df (≤ n_buckets result rows, collected —
+    a bounded driver-side read), one BROADCAST join of the idf literal,
+    one window partitioned by doc id for top-k. No vocab-sized shuffle,
+    no skewed keys (md5 buckets are uniform by construction).
+
+    Reference analogue: none (the reference stores raw text,
+    src/crawler.py:172-244); north-rule training-data extension."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    bucket_df = [
+        (r["bucket"], r["df"])
+        for r in (
+            toks.select(
+                F.col(id_col),
+                tfidf_bucket_col(F.col("token"), n_buckets).alias("bucket"),
+            )
+            .distinct()
+            .groupBy("bucket")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )
+    ]
+    spark = docs.sparkSession
+    idf = spark.createDataFrame(
+        tfidf_idf_table(bucket_df, n_docs, scale),
+        "bucket int, idf_scaled bigint",
+    )
+    scored = (
+        tf.withColumn("bucket", tfidf_bucket_col(F.col("token"), n_buckets))
+        .join(F.broadcast(idf), "bucket")
+        .withColumn("score", (F.col("tf") * F.col("idf_scaled")).cast("bigint"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -333,3 +333,56 @@ def scene_dup_stats(
             F.round(F.col("n_shared_scenes") / F.col("n_scenes"), 6),
         )
     )
+
+
+WATERMARK_SCHEMA = (
+    "image_id string, key_id int, w int, h int, fmt string, "
+    "corr_scaled long, watermarked boolean"
+)
+
+
+def detect_watermarks(
+    images: DataFrame,
+    keys: tuple[int, ...] = (1, 2, 3),
+    strength: int = codecs.WM_STRENGTH,
+    scale: int = codecs.WM_SCALE,
+) -> DataFrame:
+    """Spread-spectrum watermark detection (Cox et al. 1997; the LAION-5B
+    pipeline's watermark-filter stage re-expressed integer-exact): for
+    each image x candidate key, the scaled correlation statistic
+    codecs.wm_corr_scaled — ``(sum(pixel * sign(key)) * scale) // n`` —
+    and the decision ``corr >= strength * scale // 2``. One row per
+    (image, key); ~strength*scale for the embedding key, zero-mean
+    ~255*scale/sqrt(n) noise for wrong keys and clean images.
+
+    Integer end-to-end (order-free sums, floor division), so the DuckDB
+    oracle inlines a fresh pure-Python recompute of the same contract
+    (oracle/expected.py:watermark_rows) and matches bit-for-bit.
+
+    Scale shape (100 TB): pure map-side — one mapInPandas pass, K
+    correlations per image, no shuffle anywhere; the key list is a plan
+    constant (a real deployment's watermark templates are a broadcast
+    dimension, bounded like the IVF codebook)."""
+    thr = codecs.wm_detect_threshold(strength, scale)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                img = _decode_or_raise(bytes(r.bytes), r.fmt)
+                for k in keys:
+                    corr = codecs.wm_corr_scaled(img, k, scale)
+                    out.append(
+                        {
+                            "image_id": r.image_id,
+                            "key_id": k,
+                            "w": img.shape[1],
+                            "h": img.shape[0],
+                            "fmt": r.fmt,
+                            "corr_scaled": corr,
+                            "watermarked": corr >= thr,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=WATERMARK_SCHEMA)

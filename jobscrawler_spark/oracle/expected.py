@@ -620,6 +620,7 @@ def multimodal_rows() -> list[tuple]:
                      spark_round_py(rms, 4), fp))
     rows += scene_cut_rows()
     rows += scene_dup_rows()
+    rows += watermark_rows()
     return rows
 
 
@@ -780,3 +781,78 @@ def pagerank_py(
             u: base + (damping_pct * (contrib[u] + share)) // 100 for u in nodes
         }
     return rank
+
+
+def tfidf_idf_independent(
+    texts: list[str], n_buckets: int = 1024, scale: int = 1000
+) -> list[tuple[int, int]]:
+    """Independent re-derivation of operators/corpus.tfidf_keywords'
+    bucket-idf contract (hashing-trick document frequency per md5 bucket;
+    idf_scaled = round((ln((N+1)/(df+1)) + 1) * scale), Python banker's
+    round) from the raw texts — hashlib.md5 over each distinct token per
+    document, no Spark. Returns sorted (bucket, idf_scaled) rows ready
+    for VALUES rendering."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    df: Counter = Counter()
+    for t in texts:
+        buckets = {
+            int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % n_buckets
+            for tok in t.split()
+            if tok
+        }
+        df.update(buckets)
+    n = len(texts)
+    return sorted(
+        (b, round((math.log((n + 1) / (d + 1)) + 1.0) * scale))
+        for b, d in df.items()
+    )
+
+
+def watermark_rows(
+    n: int = 48,
+    seed: int = 42,
+    keys: tuple[int, ...] = (1, 2, 3),
+    strength: int = 6,
+    scale: int = 1000,
+) -> list[tuple]:
+    """'watermark'-kind rows for q_multimodal_pipeline: detection
+    statistics re-derived in PURE PYTHON (integer pattern hash +
+    integer correlation + floor division — no numpy, no codecs.wm_*
+    call) over the shared fixture pixels (generators.wm_image_pixels;
+    fixture construction is input, not computation). Pins
+    multimodal.detect_watermarks bit-for-bit."""
+    from ..generators import wm_image_pixels
+
+    thr = strength * scale // 2
+    rows: list[tuple] = []
+    for i in range(n):
+        img, _key = wm_image_pixels(i, seed)
+        h, w = int(img.shape[0]), int(img.shape[1])
+        vals = [int(x) for x in img.flatten().tolist()]
+        nv = len(vals)
+        for k in keys:
+            corr = 0
+            for idx, p in enumerate(vals):
+                v = (idx * 2654435761 + k * 40503) & 0xFFFFFFFF
+                v = (v * 2246822519) & 0xFFFFFFFF
+                v ^= v >> 15
+                corr += p if ((v >> 16) & 1) else -p
+            cs = (corr * scale) // nv
+            rows.append(
+                (
+                    "watermark",
+                    f"wm{i:04d}",
+                    k,
+                    w,
+                    h,
+                    "raw",
+                    float(cs),
+                    hashlib.md5(
+                        f"{cs}|{1 if cs >= thr else 0}".encode()
+                    ).hexdigest(),
+                )
+            )
+    return rows

@@ -409,3 +409,73 @@ def test_epoch_shuffle_never_single_partitions(spark, sdocs):
     plan = epoch_shuffle(sdocs, epoch=1)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan  # the partitioned window is there
+
+
+def _tfidf_py(rows, n_buckets=1024, top_k=3, scale=1000):
+    """Pure-Python recompute of the tfidf_keywords contract (hashing-trick
+    bucket df -> scaled-integer smooth idf -> tf * idf -> top-k by
+    (score desc, token asc)) — independent of the operator code path."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % n_buckets
+
+    df = Counter()
+    for _, text in rows:
+        df.update({bucket(t) for t in text.split() if t})
+    n = len(rows)
+    idf = {b: round((math.log((n + 1) / (d + 1)) + 1.0) * scale) for b, d in df.items()}
+    out = []
+    for doc_id, text in rows:
+        tf = Counter(t for t in text.split() if t)
+        scored = sorted(
+            ((t, c, c * idf[bucket(t)]) for t, c in tf.items()),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rn, (t, c, s) in enumerate(scored[:top_k], start=1):
+            out.append((doc_id, t, c, s, rn))
+    return sorted(out)
+
+
+def test_tfidf_keywords_matches_python_recompute(spark):
+    from jobscrawler_spark.operators.corpus import tfidf_keywords
+
+    rows = [
+        (1, "alpha alpha alpha the the of common alpha"),
+        (2, "the the the of of beta beta gamma"),
+        (3, "the of common common common delta"),
+        (4, "the of common epsilon epsilon epsilon epsilon"),
+    ]
+    docs = _docs(spark, [(i, "web", t) for i, t in rows]).select("doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["token"], r["tf"], r["score"], r["rn"])
+        for r in tfidf_keywords(docs).collect()
+    )
+    assert got == _tfidf_py(rows)
+
+
+def test_tfidf_keywords_rare_term_outranks_stopword(spark):
+    from jobscrawler_spark.operators.corpus import tfidf_keywords
+
+    # 'the' appears in every doc (df=8 -> low idf); each doc's unique term
+    # appears once (df=1 -> high idf). With tf('the')=2 vs tf(unique)=1 the
+    # unique term must still win rank 1 in every doc.
+    rows = [(i, f"the the uniq{i}") for i in range(8)]
+    docs = _docs(spark, [(i, "web", t) for i, t in rows]).select("doc_id", "text")
+    top1 = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_keywords(docs, top_k=1).collect()
+    }
+    assert top1 == {i: f"uniq{i}" for i in range(8)}
+
+
+def test_tfidf_keywords_deterministic_across_partitionings(spark):
+    from jobscrawler_spark.operators.corpus import tfidf_keywords
+
+    rows = [(i, "web", f"tok{i % 5} tok{i % 7} shared text body {i % 3}") for i in range(40)]
+    docs = _docs(spark, rows).select("doc_id", "text")
+    a = sorted(map(tuple, tfidf_keywords(docs).collect()))
+    b = sorted(map(tuple, tfidf_keywords(docs.repartition(13)).collect()))
+    assert a == b

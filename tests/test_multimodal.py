@@ -234,3 +234,68 @@ def test_scene_dup_excludes_same_video_repetition(spark):
     assert rows["rep0"]["n_scenes"] == 3
     assert rows["rep0"]["n_shared_scenes"] == 0
     assert rows["oth0"]["n_shared_scenes"] == 0
+
+
+# --------------------------------------------------------------------------
+# Spread-spectrum watermark detection (r6)
+# --------------------------------------------------------------------------
+
+
+def test_watermark_embed_detect_numpy_roundtrip():
+    """codecs-level: embedding key k raises corr(k) to ~strength*scale;
+    wrong keys and clean images stay near zero."""
+    img = codecs.synth_pixels(1234, 56, 52)
+    marked = codecs.embed_watermark(img, 2)
+    thr = codecs.wm_detect_threshold()
+    assert codecs.wm_corr_scaled(marked, 2) >= thr
+    for wrong in (1, 3, 7):
+        assert abs(codecs.wm_corr_scaled(marked, wrong)) < thr
+    assert abs(codecs.wm_corr_scaled(img, 2)) < thr
+
+
+def test_watermark_planted_keys_detected(spark):
+    from jobscrawler_spark.generators import gen_wm_images
+    from jobscrawler_spark.operators.multimodal import detect_watermarks
+
+    imgs = spark.createDataFrame(
+        gen_wm_images(48), "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    rows = detect_watermarks(imgs).collect()
+    assert len(rows) == 48 * 3
+    flagged = {(r["image_id"], r["key_id"]) for r in rows if r["watermarked"]}
+    expected = {
+        (f"wm{i:04d}", i % 4) for i in range(48) if i % 4 in (1, 2, 3)
+    }
+    assert flagged == expected
+    # hard margin: every planted statistic clears every non-planted one
+    planted = [r["corr_scaled"] for r in rows if (r["image_id"], r["key_id"]) in expected]
+    others = [r["corr_scaled"] for r in rows if (r["image_id"], r["key_id"]) not in expected]
+    assert min(planted) > max(others)
+
+
+def test_watermark_matches_pure_python_recompute(spark):
+    from jobscrawler_spark.generators import gen_wm_images
+    from jobscrawler_spark.operators.multimodal import detect_watermarks
+    from jobscrawler_spark.oracle.expected import watermark_rows
+
+    imgs = spark.createDataFrame(
+        gen_wm_images(12), "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {
+        (r["image_id"], r["key_id"]): r["corr_scaled"]
+        for r in detect_watermarks(imgs).collect()
+    }
+    want = {(m, k): int(metric) for _, m, k, _w, _h, _f, metric, _fp in watermark_rows(12)}
+    assert got == want
+
+
+def test_watermark_deterministic_across_partitionings(spark):
+    from jobscrawler_spark.generators import gen_wm_images
+    from jobscrawler_spark.operators.multimodal import detect_watermarks
+
+    imgs = spark.createDataFrame(
+        gen_wm_images(16), "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    a = sorted(map(tuple, detect_watermarks(imgs).collect()))
+    b = sorted(map(tuple, detect_watermarks(imgs.repartition(7)).collect()))
+    assert a == b

@@ -147,3 +147,57 @@ def test_parse_robots_crawl_delay_roundtrip(spark):
     }
     assert got == want
     assert all(v != 99 for v in got.values())  # decoy never leaks
+
+
+# --------------------------------------------------------------------------
+# URL quality filter (r6)
+# --------------------------------------------------------------------------
+
+
+def test_url_filter_spark_matches_python(spark):
+    from jobscrawler_spark.functions.urls import (
+        url_quality_filter,
+        url_quality_score_py,
+    )
+    from jobscrawler_spark.generators import gen_filter_urls
+
+    pdf = gen_filter_urls(128)
+    got = {
+        r["url"]: (r["host"], r["score"])
+        for r in url_quality_filter(
+            spark.createDataFrame(pdf, "url string")
+        ).collect()
+    }
+    for u in pdf["url"]:
+        assert got[u] == url_quality_score_py(u), u
+
+
+def test_url_filter_planted_classes(spark):
+    from jobscrawler_spark.functions.urls import url_quality_filter
+    from jobscrawler_spark.generators import gen_filter_urls
+
+    pdf = gen_filter_urls(64)
+    keep = {
+        r["url"]: r["keep"]
+        for r in url_quality_filter(
+            spark.createDataFrame(pdf, "url string")
+        ).collect()
+    }
+    for i, u in enumerate(pdf["url"]):
+        cls = i % 8
+        if cls in (0, 1):
+            assert keep[u], (cls, u)          # clean traffic passes
+        elif cls in (2, 3, 5, 6):
+            assert not keep[u], (cls, u)      # spam/overlong/ip/blocklist drop
+
+
+def test_url_filter_handcrafted_scores(spark):
+    from jobscrawler_spark.functions.urls import url_quality_score_py
+
+    assert url_quality_score_py("http://ok.example.com/a/b?x=1")[1] == 0
+    assert url_quality_score_py("http://ok.example.com/best-casino/x")[1] == 4
+    assert url_quality_score_py("http://malware.example.com/x")[1] >= 100
+    h, s = url_quality_score_py("http://10.1.2.3/x")
+    assert h == "10.1.2.3" and s == 4  # ip (+2) and digit-heavy (+2)
+    # param spray alone is a +1 nudge, not a rejection
+    assert url_quality_score_py("http://ok.example.com/p?a=1&b=2&c=3&d=4&e=5")[1] == 1
