@@ -745,6 +745,18 @@ def write_baseline_md(
             "walls and attributed the r04->r05 headline drop entirely to",
             "host contention.",
         ]
+    if main_run.get("ceiling_ratio"):
+        lines += [
+            "",
+            f"**Engine/ceiling ratio (local[{main_run['cores']}]): "
+            f"{main_run['ceiling_ratio']}** — best engine crawl throughput over "
+            "the SAME-RUN no-Spark payload ceiling at the same core count. "
+            "This is the host-speed-invariant cross-round comparator: the raw "
+            "ceiling moves with the host (r4 measured 36858 raw / 13654 engine "
+            "= 0.370; a clean r6 window measured 23741 raw / 9104 engine = "
+            "0.383), the ratio moves with the code. Compare rounds on THIS "
+            "number; absolute URLs/s only within one run.",
+        ]
     if main_run.get("samples"):
         lines += [
             "",
@@ -1076,6 +1088,19 @@ def main() -> None:
         for s in main_samples
     ]
     main_run["n_contended"] = sum(1 for s in main_samples if s["contended"])
+    # engine / same-run no-Spark payload ceiling: the HOST-SPEED-INVARIANT
+    # cross-round comparator (r4: 13654/36858 = 0.370; a clean r6 window:
+    # 9104/23741 = 0.383 — the raw ceiling moves with the host, the ratio
+    # moves with the code, so rounds compare on the ratio, not on URLs/s)
+    if scaling:
+        raw_at_cpus = (scaling.get("raw_ceiling", {}).get("throughput") or {}).get(
+            str(CPUS)
+        )
+        if raw_at_cpus:
+            main_run["raw_ceiling_at_cores"] = raw_at_cpus
+            main_run["ceiling_ratio"] = round(
+                main_run["urls_per_sec"] / raw_at_cpus, 3
+            )
     log(f"  best: {main_run}")
 
     total = round(time.monotonic() - t_start, 2)
