@@ -1210,13 +1210,13 @@ def _e2e_fixture_oracles() -> dict[str, str]:
         [
             f"({_sql_str(i)}, {w}, {h}, CAST({asp!r} AS DOUBLE), "
             f"CAST({lm!r} AS DOUBLE), CAST({ls!r} AS DOUBLE), "
-            f"CAST({en!r} AS DOUBLE), CAST({a6} AS BIGINT), "
+            f"CAST({en!r} AS DOUBLE), CAST({sk} AS BIGINT), CAST({a6} AS BIGINT), "
             f"{str(ts).lower()}, {str(ba).lower()}, {str(le).lower()}, "
-            f"{str(lc).lower()}, {str(ma).lower()}, {str(k).lower()})"
-            for i, w, h, asp, lm, ls, en, a6, ts, ba, le, lc, ma, k in X.image_curation_rows()
+            f"{str(lc).lower()}, {str(ma).lower()}, {str(nf).lower()}, {str(k).lower()})"
+            for i, w, h, asp, lm, ls, en, sk, a6, ts, ba, le, lc, ma, nf, k in X.image_curation_rows()
         ],
-        "image_id, w, h, aspect, luma_mean, luma_std, entropy, align_e6, "
-        "too_small, bad_aspect, low_entropy, low_contrast, misaligned, keep",
+        "image_id, w, h, aspect, luma_mean, luma_std, entropy, skin_e4, align_e6, "
+        "too_small, bad_aspect, low_entropy, low_contrast, misaligned, flagged_nsfw, keep",
     )
     out["crawl_recrawl"] = values(
         [f"({r}, {_sql_str(u)})" for r, u in X.crawl_recrawl_rows()],
@@ -2146,8 +2146,10 @@ def q_image_curation(spark, sf):
     mean/std, 256-bin entropy, aspect) + image-text alignment score
     (pooled-luma embedding vs the hash caption embedder, cosine in pure
     Catalyst, integer-scaled) + the LAION/DataComp-style keep verdicts —
-    the image-payload counterpart of text_features/corpus_filter. The
-    fixture (gen_curation_images) plants every defect class: tiny,
+    the image-payload counterpart of text_features/corpus_filter, plus
+    the NSFW-filter stand-in (r6: integer Peer-rule skin ratio skin_e4 +
+    flagged_nsfw verdict). The fixture (gen_curation_images) plants every
+    defect class: skin-dominant, tiny,
     extreme-aspect, flat, near-flat-low-contrast (min_side=24 here: the
     fetch model synthesizes thumbnail-scale payloads, so the production
     default of 64 would flag every normal image and leave keep

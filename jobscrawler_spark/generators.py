@@ -259,13 +259,30 @@ def gen_curation_images(n: int = 160, seed: int = 42) -> pd.DataFrame:
     rows = []
     for i in range(n):
         kind = i % 10
-        if kind < 6:  # normal crawl payload (varied size/fmt/caption)
+        if kind < 5:  # normal crawl payload (varied size/fmt/caption)
             url = f"http://cur{seed}.example.com/i/{i}"
             data, w, h, fmt, caption, ph = fetch_payload(url)
             image_id = canonicalize_py(url)
         else:
             d = url_digest(f"curation:{seed}:{i}")
-            if kind < 7:  # tiny
+            if kind < 6:  # skin-dominant (NSFW stand-in must fire): every
+                # pixel satisfies the Peer-rule with R=G+40, B=G-20 while
+                # G sweeps 60..160, so entropy/contrast stay healthy and
+                # ONLY flagged_nsfw trips
+                w, h = 48 + d % 33, 48 + (d >> 8) % 33
+                gch = (
+                    110.0
+                    + 50.0
+                    * np.sin(
+                        np.linspace(0, 6.0, int(w))[None, :]
+                        + np.linspace(0, 3.0, int(h))[:, None]
+                    )
+                )
+                img = np.stack(
+                    [gch + 40.0, gch, gch - 20.0], axis=2
+                )
+                img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+            elif kind < 7:  # tiny
                 w, h = 16 + d % 33, 16 + (d >> 8) % 33
                 img = codecs.synth_pixels(d, int(w), int(h))
             elif kind < 8:  # extreme aspect (banner / skyscraper)

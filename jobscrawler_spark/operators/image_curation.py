@@ -54,6 +54,7 @@ DEFAULTS = {
     "min_entropy": 3.0,
     "min_contrast": 10.0,
     "align_threshold": 0.0,
+    "max_skin_e4": 8000,
 }
 
 PROFILE_SCHEMA = (
@@ -123,6 +124,28 @@ def image_profile(images: DataFrame, grid: int = POOL_GRID) -> DataFrame:
     return images.mapInPandas(run, schema=PROFILE_SCHEMA)
 
 
+def _skin_e4(img: np.ndarray) -> int:
+    """Skin-pixel fraction x 10^4 — the NSFW-filter stand-in's statistic.
+    The classic Peer et al. 2003 RGB rule, ALL integer compares (no
+    summation-order hazard, so the sequential oracle is a pure-Python
+    per-pixel loop): R>95, G>40, B>20, max-min>15, |R-G|>15, R>G, R>B.
+    A learned NSFW classifier swaps into the same mapInPandas slot (the
+    CLIP-for-alignment swap point). The default max_skin_e4=8000 is tuned
+    to the synthetic palette (fetch-model images are frequently warm-toned
+    and land 50-73% in-rule; the planted skin class saturates at 10000) —
+    a real deployment re-tunes the threshold to its classifier."""
+    r = img[:, :, 0].astype(np.int16)
+    g = img[:, :, 1].astype(np.int16)
+    b = img[:, :, 2].astype(np.int16)
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+    m = (
+        (r > 95) & (g > 40) & (b > 20) & ((mx - mn) > 15)
+        & (np.abs(r - g) > 15) & (r > g) & (r > b)
+    )
+    return int(m.sum()) * 10000 // int(m.size)
+
+
 def _cosine_e6(a, b):
     """floor(cos(a, b) * 1e6 + 0.5) as bigint — array-order summation in
     the JVM; the sequential oracle mirrors the exact operation order."""
@@ -167,13 +190,17 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
                         "luma_mean": round(mean, 4),
                         "luma_std": round(std, 4),
                         "entropy": round(entropy, 4),
+                        "skin_e4": _skin_e4(img),
                         "img_vec": _pool_embed(luma),
                     }
                 )
             yield pd.DataFrame(out)
 
     prof = images.mapInPandas(
-        run, schema=PROFILE_SCHEMA.replace("image_id string", "image_id string, caption string")
+        run,
+        schema=PROFILE_SCHEMA.replace(
+            "image_id string", "image_id string, caption string"
+        ).replace("entropy double", "entropy double, skin_e4 long"),
     )
     cap_vec = synth_embedding(F.col("caption"), dim=dim)
     return (
@@ -186,6 +213,7 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
         .withColumn("low_entropy", F.col("entropy") < t["min_entropy"])
         .withColumn("low_contrast", F.col("luma_std") < t["min_contrast"])
         .withColumn("misaligned", F.col("align_e6") < F.lit(thr_e6))
+        .withColumn("flagged_nsfw", F.col("skin_e4") > F.lit(int(t["max_skin_e4"])))
         .withColumn(
             "keep",
             ~(
@@ -194,6 +222,7 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
                 | F.col("low_entropy")
                 | F.col("low_contrast")
                 | F.col("misaligned")
+                | F.col("flagged_nsfw")
             ),
         )
         .drop("img_vec", "caption")

@@ -189,6 +189,17 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             nb = nb + y * y
         na, nb = math.sqrt(na), math.sqrt(nb)
         cos = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        # skin rule (NSFW stand-in): per-pixel PURE-PYTHON loop — integer
+        # compares only, independent of the operator's vectorized mask
+        skin = 0
+        px = img.reshape(-1, 3).tolist()
+        for rr, gg, bb in px:
+            mx, mn = max(rr, gg, bb), min(rr, gg, bb)
+            if (
+                rr > 95 and gg > 40 and bb > 20 and (mx - mn) > 15
+                and abs(rr - gg) > 15 and rr > gg and rr > bb
+            ):
+                skin += 1
         rec = {
             "image_id": r["image_id"],
             "w": w,
@@ -197,6 +208,7 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             "luma_mean": round(mean, 4),
             "luma_std": round(std, 4),
             "entropy": round(entropy, 4),
+            "skin_e4": skin * 10000 // len(px),
             "align_e6": int(math.floor(cos * 1e6 + 0.5)),
         }
         rec["too_small"] = w < t["min_side"] or h < t["min_side"]
@@ -204,22 +216,25 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
         rec["low_entropy"] = rec["entropy"] < t["min_entropy"]
         rec["low_contrast"] = rec["luma_std"] < t["min_contrast"]
         rec["misaligned"] = rec["align_e6"] < thr_e6
+        rec["flagged_nsfw"] = rec["skin_e4"] > t["max_skin_e4"]
         rec["keep"] = not (
             rec["too_small"]
             or rec["bad_aspect"]
             or rec["low_entropy"]
             or rec["low_contrast"]
             or rec["misaligned"]
+            or rec["flagged_nsfw"]
         )
         out.append(rec)
     return out
 
 
 def image_curation_rows(n: int = 160, seed: int = 42) -> list[tuple]:
-    """(image_id, w, h, aspect, luma_mean, luma_std, entropy, align_e6,
-    too_small, bad_aspect, low_entropy, low_contrast, misaligned, keep)
-    for q_image_curation's gen_curation_images fixture, via
-    :func:`curate_images_py` (min_side=24 like the gate)."""
+    """(image_id, w, h, aspect, luma_mean, luma_std, entropy, skin_e4,
+    align_e6, too_small, bad_aspect, low_entropy, low_contrast,
+    misaligned, flagged_nsfw, keep) for q_image_curation's
+    gen_curation_images fixture, via :func:`curate_images_py`
+    (min_side=24 like the gate)."""
     from ..generators import gen_curation_images
 
     rows = curate_images_py(
@@ -228,9 +243,9 @@ def image_curation_rows(n: int = 160, seed: int = 42) -> list[tuple]:
     return [
         (
             r["image_id"], r["w"], r["h"], r["aspect"], r["luma_mean"],
-            r["luma_std"], r["entropy"], r["align_e6"], r["too_small"],
-            r["bad_aspect"], r["low_entropy"], r["low_contrast"],
-            r["misaligned"], r["keep"],
+            r["luma_std"], r["entropy"], r["skin_e4"], r["align_e6"],
+            r["too_small"], r["bad_aspect"], r["low_entropy"],
+            r["low_contrast"], r["misaligned"], r["flagged_nsfw"], r["keep"],
         )
         for r in rows
     ]

@@ -47,9 +47,31 @@ def test_curate_matches_sequential(spark_rows, oracle_rows):
 
 
 def test_every_verdict_class_fires(oracle_rows):
-    for col in ("too_small", "bad_aspect", "low_entropy", "low_contrast", "misaligned", "keep"):
+    for col in (
+        "too_small", "bad_aspect", "low_entropy", "low_contrast",
+        "misaligned", "flagged_nsfw", "keep",
+    ):
         vals = {r[col] for r in oracle_rows}
         assert vals == {True, False}, f"{col} never exercised both branches: {vals}"
+
+
+def test_skin_images_flagged(fixture_pdf, oracle_rows):
+    """The planted skin-dominant class (i % 10 == 5) saturates the Peer
+    rule (every pixel matches -> skin_e4 == 10000) and is the ONLY class
+    that must trip flagged_nsfw."""
+    by_id = {r["image_id"]: r for r in oracle_rows}
+    skin_ids = [
+        r.image_id
+        for r in fixture_pdf.itertuples()
+        if r.image_id.count("/s/") and int(r.image_id.rsplit("/", 1)[1]) % 10 == 5
+    ]
+    assert skin_ids
+    for iid in skin_ids:
+        r = by_id[iid]
+        assert r["skin_e4"] == 10000 and r["flagged_nsfw"] and not r["keep"], r
+    for r in oracle_rows:
+        if r["image_id"] not in skin_ids:
+            assert not r["flagged_nsfw"], r
 
 
 def test_flat_images_flagged(fixture_pdf, oracle_rows):
