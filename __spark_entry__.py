@@ -821,8 +821,14 @@ def _corpus_mix_oracle(sf_dir: str) -> str:
     kind's thresholds come from an INDEPENDENT Python recompute of the
     corpus.temperature_thresholds contract (sorted-source-order sums,
     alpha=0.5, target N/2, int(round(rate * 2^32)) hex rendering) over
-    the oracle-scale source counts, inlined as a VALUES table."""
+    the oracle-scale source counts, inlined as a VALUES table; the
+    'dsir' kind's selected ids come from the fully-independent Python
+    re-derivation of the DSIR contract
+    (oracle/expected.py:dsir_selected_independent) over the oracle-scale
+    (doc_id, text, lang) rows, inlined as VALUES."""
     import duckdb as _ddb
+
+    from jobscrawler_spark.oracle.expected import dsir_selected_independent
 
     con = _ddb.connect()
     counts = dict(
@@ -831,7 +837,14 @@ def _corpus_mix_oracle(sf_dir: str) -> str:
             f"read_parquet('{sf_dir}/documents.parquet') GROUP BY source"
         ).fetchall()
     )
+    doc_rows = con.execute(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
     con.close()
+    dsir_rows = ",\n              ".join(
+        f"({i})" for i, _s in dsir_selected_independent(doc_rows, keep_frac=0.4)
+    )
     n_total = sum(counts.values())
     srcs = sorted(counts)
     z = sum((counts[s] / n_total) ** 0.5 for s in srcs)
@@ -852,7 +865,9 @@ def _corpus_mix_oracle(sf_dir: str) -> str:
                                                * 4294967296) AS BIGINT)) AS th
               FROM (SELECT DISTINCT source FROM documents)),
             tthr(source, th) AS (VALUES
-              {trows})
+              {trows}),
+            dsir_ids(doc_id) AS (VALUES
+              {dsir_rows})
             SELECT 'weighted' AS kind, doc_id, source, lang
             FROM documents JOIN rates USING (source)
             WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < th
@@ -860,6 +875,9 @@ def _corpus_mix_oracle(sf_dir: str) -> str:
             SELECT 'temperature' AS kind, doc_id, source, lang
             FROM documents JOIN tthr USING (source)
             WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < th
+            UNION ALL
+            SELECT 'dsir' AS kind, doc_id, source, lang
+            FROM documents JOIN dsir_ids USING (doc_id)
         """
 
 
@@ -2339,8 +2357,21 @@ def q_corpus_mix(spark, sf):
     grouped source counts by the documented sorted-order Python
     arithmetic that the oracle's independent recompute repeats
     bit-identically. The survivor decision depends only on doc_id, so
-    engines, re-runs and partitionings agree exactly."""
+    engines, re-runs and partitionings agree exactly.
+
+    'dsir' (r6) = DSIR importance resampling (Xie et al. 2023,
+    corpus.dsir_select) in its deterministic top-k form: the raw
+    multilingual corpus is resampled toward the ENGLISH target
+    distribution (target set = lang == 'en') by hashed uni+bigram
+    log-likelihood-ratio scores — scaled-integer lr table computed
+    driver-side over two bounded bucket aggregates, integer doc scores
+    (order-free sums), two-phase coarse-bin/exact threshold, md5 tie
+    admission at the boundary score. keep_frac = 0.4. The oracle
+    re-derives the ENTIRE contract independently
+    (oracle/expected.py:dsir_selected_independent — hashlib/math/Counter,
+    no Spark) and inlines the selected ids as VALUES."""
     from jobscrawler_spark.operators.corpus import (
+        dsir_select,
         mix_threshold_hex,
         temperature_thresholds,
         weighted_mix,
@@ -2364,7 +2395,10 @@ def q_corpus_mix(spark, sf):
     temp = weighted_mix(d, trates).select(
         F.lit("temperature").alias("kind"), "doc_id", "source", "lang"
     )
-    return fixed.unionByName(temp)
+    dsir = dsir_select(d, d.filter(F.col("lang") == "en"), keep_frac=0.4).select(
+        F.lit("dsir").alias("kind"), "doc_id", "source", "lang"
+    )
+    return fixed.unionByName(temp).unionByName(dsir)
 
 
 def q_text_bpe(spark, sf):

@@ -557,3 +557,212 @@ def tfidf_keywords(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1000
+DSIR_SALT = "dsir|"
+DSIR_BIN = 4096  # coarse score-bin width for the two-phase threshold
+
+
+def unigram_bigram_col(text: Column) -> Column:
+    """Unigrams + bigrams WITH multiplicity over whitespace tokens — the
+    hashed-ngram feature set of DSIR (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"; their feature space
+    is hashed uni+bigram counts). Pure Catalyst array expression."""
+    toks = tokens_col(text)
+    cnt = F.size(toks)
+    idx = F.when(cnt >= 2, F.sequence(F.lit(0), cnt - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+    return F.concat(toks, bigrams)
+
+
+def dsir_lr_table(
+    target_counts: dict[int, int],
+    raw_counts: dict[int, int],
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> list[tuple[int, int]]:
+    """(bucket, lr_scaled) rows — the scaled-integer log-likelihood-ratio
+    contract (the lm.py/tfidf pattern: transcendentals run ONCE per bucket
+    on the driver over a table bounded by ``n_buckets``, never near the
+    data). Add-one smoothing on both bag-of-hashed-ngrams models:
+
+        lr_scaled(b) = round((ln((ct_b + 1) / (Ct + B))
+                             - ln((cr_b + 1) / (Cr + B))) * scale)
+
+    where ct/cr are target/raw gram-occurrence counts for bucket ``b``,
+    Ct/Cr their totals, B = n_buckets. Only buckets PRESENT in the raw
+    corpus get a row — every gram being scored is in the raw corpus by
+    definition, so the table is complete for scoring. The oracle
+    re-derives this table independently
+    (oracle/expected.py:dsir_selected_independent)."""
+    import math
+
+    c_t = sum(target_counts.values())
+    c_r = sum(raw_counts.values())
+    return [
+        (
+            int(b),
+            int(
+                round(
+                    (
+                        math.log((target_counts.get(b, 0) + 1) / (c_t + n_buckets))
+                        - math.log((raw_counts[b] + 1) / (c_r + n_buckets))
+                    )
+                    * scale
+                )
+            ),
+        )
+        for b in sorted(raw_counts)
+    ]
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> DataFrame:
+    """``docs`` + an integer ``dsir_score`` column: the DSIR importance
+    weight log(p_target(x)/p_raw(x)) under hashed uni+bigram bag models,
+    as a SUM of per-gram scaled-integer log-ratios — integer addition is
+    order-free, so any partitioning/engine agrees exactly.
+
+    Scale shape (100 TB): two bounded driver-side bucket aggregates
+    (``<= n_buckets`` rows each — the tfidf/lm bounded-collect pattern;
+    the target set is a sample, the raw side one grouped agg over the
+    corpus), then one explode (the fan-out every gram operator pays), one
+    BROADCAST join of the lr literal, one uniform-key groupBy(id) sum,
+    one uniform-key join back. No vocab-sized shuffle, no skew (md5
+    buckets are uniform by construction)."""
+
+    def _bucket_counts(df: DataFrame) -> dict[int, int]:
+        return {
+            r["bucket"]: r["n"]
+            for r in (
+                df.select(
+                    F.explode(unigram_bigram_col(F.col(text_col))).alias("g")
+                )
+                .select(tfidf_bucket_col(F.col("g"), n_buckets).alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+        }
+
+    raw_c = _bucket_counts(docs)
+    tgt_c = _bucket_counts(target)
+    spark = docs.sparkSession
+    lr = spark.createDataFrame(
+        dsir_lr_table(tgt_c, raw_c, n_buckets, scale),
+        "bucket int, lr_scaled bigint",
+    )
+    scores = (
+        docs.select(
+            F.col(id_col),
+            F.explode(unigram_bigram_col(F.col(text_col))).alias("g"),
+        )
+        .select(id_col, tfidf_bucket_col(F.col("g"), n_buckets).alias("bucket"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lr_scaled").alias("dsir_score"))
+    )
+    return docs.join(scores, id_col, "left").withColumn(
+        "dsir_score", F.coalesce(F.col("dsir_score"), F.lit(0)).cast("long")
+    )
+
+
+def dsir_threshold(
+    scored: DataFrame,
+    target_n: int,
+    score_col: str = "dsir_score",
+    bin_width: int = DSIR_BIN,
+) -> tuple[int, str]:
+    """Exact top-``target_n`` threshold ``(T, tie_threshold_hex)`` from
+    two BOUNDED driver-side reads — never a global window (which would
+    serialize 10^10 rows through one partition):
+
+    1. coarse histogram: groupBy ``score // bin_width`` (floored
+       division; bounded by score_range / bin_width rows) -> descending
+       cumulative count finds the boundary bin b*;
+    2. exact histogram WITHIN b* only: groupBy exact score (``<=
+       bin_width`` distinct values by construction) -> descending
+       cumulative count finds the exact threshold score T, the number of
+       docs strictly above it, and the tie population at T.
+
+    Ties at T are admitted by deterministic hash: a tie survives iff the
+    md5 hex prefix of 'dsir|<id>' is below ``mix_threshold_hex(need /
+    tie_count)`` — the weighted_mix decision rule, so the selected count
+    is target_n +- the hash-binomial deviation on the single boundary
+    score (exact above T). DSIR is itself a sampler; a deterministic,
+    engine-reproducible boundary beats an exact-count global sort."""
+    binned = F.floor(F.col(score_col) / F.lit(float(bin_width))).cast("long")
+    bins = {
+        r["b"]: r["n"]
+        for r in scored.groupBy(binned.alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cum = 0
+    b_star = None
+    for b in sorted(bins, reverse=True):
+        if cum + bins[b] >= target_n:
+            b_star = b
+            break
+        cum += bins[b]
+    assert b_star is not None, "target_n exceeds the corpus size"
+    exact = {
+        r[score_col]: r["n"]
+        for r in scored.filter(binned == b_star)
+        .groupBy(score_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s in sorted(exact, reverse=True):
+        if cum + exact[s] >= target_n:
+            return int(s), mix_threshold_hex((target_n - cum) / exact[s])
+        cum += exact[s]
+    raise AssertionError("unreachable: cumulative counts cover target_n")
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    keep_frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+    bin_width: int = DSIR_BIN,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) in its deterministic top-k
+    form: keep the ``int(round(keep_frac * n))`` documents whose hashed
+    uni+bigram importance weight log(p_target/p_raw) is highest. Returns
+    the selected docs with their ``dsir_score``. Selection = a pure
+    map-side filter against the driver-computed ``(T, tie_hex)``
+    boundary (dsir_threshold), so the final pass is shuffle-free and the
+    decision depends only on the document id + score — engines, re-runs
+    and partitionings agree exactly.
+
+    Reference analogue: none (the reference crawls configured job boards,
+    src/crawler.py:172-244); north-rule training-data extension."""
+    n = docs.count()
+    target_n = int(round(keep_frac * n))
+    scored = dsir_scores(docs, target, text_col, id_col, n_buckets, scale)
+    if target_n <= 0:
+        return scored.filter(F.lit(False))
+    if target_n >= n:
+        return scored
+    t, tie_hex = dsir_threshold(scored, target_n, bin_width=bin_width)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(DSIR_SALT), F.col(id_col).cast("string"))), 1, 8
+    )
+    return scored.filter(
+        (F.col("dsir_score") > t)
+        | ((F.col("dsir_score") == t) & (prefix < F.lit(tie_hex)))
+    )

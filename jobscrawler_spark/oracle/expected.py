@@ -871,3 +871,94 @@ def watermark_rows(
                 )
             )
     return rows
+
+
+def dsir_selected_independent(
+    rows: list[tuple[int, str, str]],
+    target_lang: str = "en",
+    keep_frac: float = 0.4,
+    n_buckets: int = 1024,
+    scale: int = 1000,
+    bin_width: int = 4096,
+    salt: str = "dsir|",
+) -> list[tuple[int, int]]:
+    """Independent re-derivation of operators/corpus.dsir_select's whole
+    contract (hashed uni+bigram bag models with add-one smoothing,
+    scaled-integer log-ratio table, integer doc scores, two-phase
+    coarse-bin/exact threshold, md5 tie admission) from the raw
+    (doc_id, text, lang) rows — hashlib/math/Counter only, no Spark and
+    no corpus.py import. Returns sorted (doc_id, dsir_score) of the
+    selected documents, ready for VALUES rendering."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def grams(text: str) -> list[str]:
+        toks = text.split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % n_buckets
+
+    raw_c: Counter = Counter()
+    tgt_c: Counter = Counter()
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, text, lang in rows:
+        bs = [bucket(g) for g in grams(text)]
+        doc_buckets[doc_id] = bs
+        raw_c.update(bs)
+        if lang == target_lang:
+            tgt_c.update(bs)
+    c_t = sum(tgt_c.values())
+    c_r = sum(raw_c.values())
+    lr = {
+        b: round(
+            (
+                math.log((tgt_c.get(b, 0) + 1) / (c_t + n_buckets))
+                - math.log((raw_c[b] + 1) / (c_r + n_buckets))
+            )
+            * scale
+        )
+        for b in raw_c
+    }
+    scores = {
+        doc_id: sum(lr[b] for b in bs) for doc_id, bs in doc_buckets.items()
+    }
+    n = len(rows)
+    target_n = int(round(keep_frac * n))
+    if target_n <= 0:
+        return []
+    if target_n >= n:
+        return sorted(scores.items())
+
+    bins: Counter = Counter(s // bin_width for s in scores.values())
+    cum = 0
+    b_star = None
+    for b in sorted(bins, reverse=True):
+        if cum + bins[b] >= target_n:
+            b_star = b
+            break
+        cum += bins[b]
+    exact: Counter = Counter(
+        s for s in scores.values() if s // bin_width == b_star
+    )
+    thr = None
+    tie_hex = None
+    for s in sorted(exact, reverse=True):
+        if cum + exact[s] >= target_n:
+            thr = s
+            rate = (target_n - cum) / exact[s]
+            t = max(0, min(16**8, int(round(rate * 16**8))))
+            tie_hex = "g" if t >= 16**8 else format(t, "08x")
+            break
+        cum += exact[s]
+    assert thr is not None and tie_hex is not None
+    return sorted(
+        (doc_id, s)
+        for doc_id, s in scores.items()
+        if s > thr
+        or (
+            s == thr
+            and hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8] < tie_hex
+        )
+    )

@@ -479,3 +479,85 @@ def test_tfidf_keywords_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, tfidf_keywords(docs).collect()))
     b = sorted(map(tuple, tfidf_keywords(docs.repartition(13)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "lang", "text"])
+    )
+
+
+@pytest.fixture()
+def dsir_corpus(spark):
+    # target-like docs share the "alpha beta ..." vocabulary; off-target
+    # docs are digit gibberish with no gram overlap
+    rows = []
+    vocab = "alpha beta gamma delta epsilon zeta eta theta"
+    for i in range(12):
+        toks = vocab.split()
+        rot = toks[i % 8 :] + toks[: i % 8]
+        rows.append((i, f"s{i % 2}", "en", " ".join(rot)))
+    for i in range(12, 24):
+        # same token count as the vocab docs so raw score sums compare
+        # per-gram quality, not document length
+        gib = " ".join(f"g{i}x{j}" for j in range(8))
+        rows.append((i, f"s{i % 2}", "xx", gib))
+    return rows
+
+
+def test_dsir_select_matches_python_recompute(spark, dsir_corpus):
+    from jobscrawler_spark.operators.corpus import dsir_select
+    from jobscrawler_spark.oracle.expected import dsir_selected_independent
+
+    d = _dsir_docs(spark, dsir_corpus)
+    got = {
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_select(d, d.filter(F.col("lang") == "en"), 0.5).collect()
+    }
+    want = set(
+        dsir_selected_independent(
+            [(i, t, lang) for i, _s, lang, t in dsir_corpus], keep_frac=0.5
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dsir_prefers_target_like_docs(spark, dsir_corpus):
+    from jobscrawler_spark.operators.corpus import dsir_select
+
+    d = _dsir_docs(spark, dsir_corpus)
+    kept = {
+        r["doc_id"]
+        for r in dsir_select(d, d.filter(F.col("lang") == "en"), 0.5).collect()
+    }
+    # the 12 vocabulary-sharing docs out-score the 12 gibberish docs
+    assert kept == set(range(12))
+
+
+def test_dsir_keep_frac_monotone_subset(spark, dsir_corpus):
+    from jobscrawler_spark.operators.corpus import dsir_select
+
+    d = _dsir_docs(spark, dsir_corpus)
+    tgt = d.filter(F.col("lang") == "en")
+    small = {r["doc_id"] for r in dsir_select(d, tgt, 0.25).collect()}
+    big = {r["doc_id"] for r in dsir_select(d, tgt, 0.75).collect()}
+    assert small < big
+
+
+def test_dsir_partitioning_invariant(spark, dsir_corpus):
+    from jobscrawler_spark.operators.corpus import dsir_select
+
+    d = _dsir_docs(spark, dsir_corpus)
+    tgt = d.filter(F.col("lang") == "en")
+    one = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_select(d.coalesce(1), tgt, 0.5).collect()
+    )
+    many = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_select(d.repartition(7), tgt, 0.5).collect()
+    )
+    assert one == many
