@@ -652,16 +652,28 @@ def _corpus_filter_oracle(sf_dir: str) -> str:
           FROM bg g
           LEFT JOIN lmp p ON p.w1 = g.w1 AND p.w2 = g.w2
           LEFT JOIN lmb b ON b.w1 = g.w1
-          GROUP BY doc_id)
+          GROUP BY doc_id),
+        -- r6 domain-level filter: per-source English share over the RAW
+        -- corpus, exact integral division (the Spark side's `div`)
+        srcshare AS (
+          SELECT d.source,
+                 CAST((sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END)
+                       * 10000) // count(*) AS BIGINT) AS src_en_e4
+          FROM documents d JOIN langs l ON l.doc_id = d.doc_id
+          GROUP BY d.source)
         SELECT f.doc_id, l.pred_lang, f.quality, m.ml_logit,
-               coalesce(pp.ppl_scaled, {lm_unk}) AS ppl_scaled
+               coalesce(pp.ppl_scaled, {lm_unk}) AS ppl_scaled,
+               ss.src_en_e4
         FROM feats f
         JOIN langs l ON f.doc_id = l.doc_id
         JOIN surv s ON f.doc_id = s.doc_id
         JOIN ml m ON f.doc_id = m.doc_id
+        JOIN documents d ON d.doc_id = f.doc_id
+        JOIN srcshare ss ON ss.source = d.source
         LEFT JOIN ppl pp ON pp.doc_id = f.doc_id
         WHERE l.pred_lang = 'en' AND f.quality >= 0.7 AND m.ml_logit >= 0
           AND coalesce(pp.ppl_scaled, {lm_unk}) <= {PPL_THRESHOLD}
+          AND ss.src_en_e4 >= {DOMAIN_EN_THRESHOLD}
     """
 
 
@@ -1871,6 +1883,10 @@ def q_dedup_exact(spark, sf):
 # CCNet-style perplexity keep threshold (integer mean surprisal x1000;
 # sf0.01 distribution: min 4733 / median 4911 / p80 4943 / max 5238)
 PPL_THRESHOLD = 4950
+# min per-source English share (e4) to keep the domain; calibrated to the
+# fixture's lang_id spread (7600-10000 at sf0.01) so the domain gate is
+# load-bearing — several sources fall below it
+DOMAIN_EN_THRESHOLD = 8200
 
 
 def q_corpus_filter(spark, sf):
@@ -1890,11 +1906,23 @@ def q_corpus_filter(spark, sf):
     the same bounded sample, doc score = integer mean surprisal per
     bigram, keep iff <= PPL_THRESHOLD. The oracle re-derives the tables
     independently (expected.train_bigram_lm_independent) and repeats the
-    integer arithmetic in SQL."""
+    integer arithmetic in SQL.
+
+    src_en_e4 (r6): the RefinedWeb/CCNet DOMAIN-LEVEL filter — a doc
+    survives only if its whole source's English share (corpus.
+    domain_share over the RAW corpus, integer e4 contract: (n_en *
+    10000) div n) clears DOMAIN_EN_THRESHOLD. Per-doc language alone
+    keeps stray English pages on translated/spam domains; the
+    domain-level share prunes the domain. The oracle repeats the grouped
+    integer arithmetic in live SQL."""
     from jobscrawler_spark.functions import lm as LM
     from jobscrawler_spark.functions import quality_model as QM
+    from jobscrawler_spark.operators.corpus import domain_share
 
     d = _t(spark, sf, "documents")
+    src_share = domain_share(d, T.lang_id(F.col("text")) == "en").select(
+        "source", F.col("share_e4").alias("src_en_e4")
+    )
     sample = [
         (r["doc_id"], r["text"])
         for r in d.orderBy("doc_id").limit(QM.SAMPLE_DOCS).select("doc_id", "text").collect()
@@ -1905,6 +1933,7 @@ def q_corpus_filter(spark, sf):
     t = F.col("text")
     return (
         LM.score_perplexity(QM.score_quality_model(d.join(surv, "doc_id"), w, b), pair, back, unk)
+        .join(F.broadcast(src_share), "source")
         .select(
             "doc_id",
             T.lang_id(t).alias("pred_lang"),
@@ -1912,12 +1941,14 @@ def q_corpus_filter(spark, sf):
             "ml_logit",
             "ml_keep",
             "ppl_scaled",
+            "src_en_e4",
         )
         .filter(
             (F.col("pred_lang") == "en")
             & (F.col("quality") >= 0.7)
             & F.col("ml_keep")
             & (F.col("ppl_scaled") <= PPL_THRESHOLD)
+            & (F.col("src_en_e4") >= DOMAIN_EN_THRESHOLD)
         )
         .drop("ml_keep")
     )

@@ -766,3 +766,38 @@ def dsir_select(
         (F.col("dsir_score") > t)
         | ((F.col("dsir_score") == t) & (prefix < F.lit(tie_hex)))
     )
+
+
+def domain_share(
+    docs: DataFrame,
+    flag: Column,
+    group_col: str = "source",
+    scale: int = 10000,
+) -> DataFrame:
+    """Domain-level statistic: per ``group_col``, the share of rows
+    satisfying ``flag``, as a scaled INTEGER ``share_e4 = (n_flag *
+    scale) div n`` (exact integral division — no float summation or
+    division crosses engines). The RefinedWeb/CCNet domain-filtering
+    primitive: a document's fate can depend on its whole domain's
+    statistics (language share, quality share, spam share), computed
+    over the RAW crawl before any per-doc filter.
+
+    Scale shape (100 TB): ONE groupBy keyed on the domain dimension
+    (uniform by construction for md5-ish hosts; a pathological megahost
+    is one counter, not a fan-out) producing a dimension-sized table —
+    broadcastable back onto the corpus. Counts are order-free integer
+    sums."""
+    counted = (
+        docs.withColumn("__flag", flag)
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col("__flag"), 1).otherwise(0)).alias("__n_flag"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return counted.select(
+        group_col,
+        F.expr(f"CAST((__n_flag * {int(scale)}) div __n AS BIGINT)").alias(
+            "share_e4"
+        ),
+    )

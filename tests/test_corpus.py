@@ -561,3 +561,39 @@ def test_dsir_partitioning_invariant(spark, dsir_corpus):
         for r in dsir_select(d.repartition(7), tgt, 0.5).collect()
     )
     assert one == many
+
+
+# ------------------------------------------------------- domain share
+
+
+def test_domain_share_integer_floor_contract(spark):
+    from jobscrawler_spark.operators.corpus import domain_share
+
+    rows = [
+        # srcA: 1 of 3 flagged -> (1*10000) div 3 = 3333 (floor, not round)
+        (1, "srcA", "en"), (2, "srcA", "xx"), (3, "srcA", "xx"),
+        # srcB: all flagged -> 10000
+        (4, "srcB", "en"), (5, "srcB", "en"),
+        # srcC: none flagged -> 0
+        (6, "srcC", "xx"),
+    ]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "lang"])
+    )
+    got = {
+        r["source"]: r["share_e4"]
+        for r in domain_share(d, F.col("lang") == "en").collect()
+    }
+    assert got == {"srcA": 3333, "srcB": 10000, "srcC": 0}
+
+
+def test_domain_share_partitioning_invariant(spark):
+    from jobscrawler_spark.operators.corpus import domain_share
+
+    rows = [(i, f"s{i % 3}", "en" if i % 2 == 0 else "xx") for i in range(30)]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "lang"])
+    )
+    one = sorted(map(tuple, domain_share(d.coalesce(1), F.col("lang") == "en").collect()))
+    many = sorted(map(tuple, domain_share(d.repartition(7), F.col("lang") == "en").collect()))
+    assert one == many
