@@ -1109,17 +1109,19 @@ def _text_bpe_oracle(sf_dir: str) -> str:
             WITH counts(doc_id, n_bpe) AS (VALUES
               {values}),
             t AS (
-              SELECT d.source, d.doc_id, c.n_bpe AS n_tokens
+              SELECT d.source, d.doc_id, c.n_bpe AS n_tokens, d.n_chars
               FROM documents d JOIN counts c USING (doc_id)),
             c2 AS (
-              SELECT source, doc_id, n_tokens,
+              SELECT source, doc_id, n_tokens, n_chars,
                      coalesce(sum(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
               FROM t)
             SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
                    CAST(pre // 256 AS BIGINT) AS bin_id,
-                   CAST(pre % 256 AS INT) AS bin_offset
+                   CAST(pre % 256 AS INT) AS bin_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (n_chars * 100) // n_tokens END AS BIGINT) AS cpt_e2
             FROM c2
         """
 
@@ -2443,13 +2445,32 @@ def q_text_bpe(spark, sf):
     recomputes per-doc token counts at oracle-build time; the packing
     window runs in pure SQL over those counts (the ann_ivf_kmeans
     independent-recompute pattern). Reference analogue: tiktoken counting
-    at src/embeddings/e5_base_v2_utils.py:37-56."""
+    at src/embeddings/e5_base_v2_utils.py:37-56.
+
+    cpt_e2 (r6): the TOKENIZER-COMPRESSION quality signal — chars per
+    BPE token as a scaled integer, (n_chars * 100) div n_tokens (0 for
+    empty docs). Natural text compresses well under a corpus-trained
+    BPE; gibberish/entropy-bomb docs do not, so low cpt is the standard
+    cheap filter for them (the bits-per-byte family). Exact integral
+    division, repeated verbatim in the oracle SQL over the same
+    independently-recomputed counts."""
     from jobscrawler_spark.functions.bpe import train_bpe_on_docs
     from jobscrawler_spark.operators.corpus import pack_sequences
 
     d = _t(spark, sf, "documents")
     merges = train_bpe_on_docs(d, n_merges=64, sample_n=256)
-    return pack_sequences(d, budget=256, token_counter="bpe", bpe_merges=merges)
+    packed = pack_sequences(d, budget=256, token_counter="bpe", bpe_merges=merges)
+    return packed.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "bin_id",
+        "bin_offset",
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE (n_chars * 100) div n_tokens END AS BIGINT)"
+        ).alias("cpt_e2"),
+    )
 
 
 def q_multimodal_pipeline(spark, sf):

@@ -180,3 +180,24 @@ def test_prop_training_order_invariant(texts):
     assert train_bpe(texts, n_merges=24) == train_bpe(
         list(reversed(texts)), n_merges=24
     )
+
+
+def test_compression_ratio_separates_text_from_gibberish(spark):
+    """cpt_e2 (chars per BPE token, x100 integral division — the
+    text_bpe gate's r6 quality signal): corpus-like text compresses
+    under a BPE trained on it, character gibberish does not."""
+    from jobscrawler_spark.functions.bpe import encode, train_bpe
+
+    words = ["stream", "frontier", "crawl", "budget"]
+    natural = " ".join(words * 6)
+    gibberish = "zq xv jk wq pz vx qj kz"  # no shared pairs to merge
+    merges = train_bpe([natural], n_merges=32)
+
+    def cpt(text):
+        n_tok = len(encode(text, merges))
+        return (len(text) * 100) // n_tok
+
+    assert cpt(natural) > cpt(gibberish)
+    # exact arithmetic: integral division, not rounding
+    n = len(encode(gibberish, merges))
+    assert cpt(gibberish) == (len(gibberish) * 100) // n
