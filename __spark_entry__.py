@@ -1335,16 +1335,31 @@ def _phash_fixture_ctes() -> str:
 
 
 def _phash_neardup_oracle() -> str:
+    from jobscrawler_spark.oracle.expected import verified_neardup_rows
+
+    vrows = ",\n              ".join(
+        f"('{a}', '{b}', {h}, {s}, {str(bool(v)).upper()})"
+        for a, b, h, s, v in verified_neardup_rows()
+    )
     return f"""
             WITH {_phash_fixture_ctes()},
             pairs AS (
               SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-              FROM cand WHERE bit_count(xor(pa, pb)) <= 7)
-            SELECT 'batch' AS kind, id_a, id_b, hamming FROM pairs
+              FROM cand WHERE bit_count(xor(pa, pb)) <= 7),
+            vpairs(id_a, id_b, hamming, sad, verified) AS (VALUES
+              {vrows})
+            SELECT 'batch' AS kind, id_a, id_b, hamming,
+                   CAST(NULL AS BIGINT) AS sad, CAST(NULL AS BOOLEAN) AS verified
+            FROM pairs
             UNION ALL
             -- incremental ingest == one-shot pairs touching >= 1 new image
-            SELECT 'incremental', id_a, id_b, hamming FROM pairs
+            SELECT 'incremental', id_a, id_b, hamming, NULL, NULL FROM pairs
             WHERE id_a LIKE '%~v' OR id_b LIKE '%~v'
+            UNION ALL
+            -- r6 pixel verification: exact all-pairs recompute (expected.py)
+            SELECT 'verified', id_a, id_b, CAST(hamming AS INT),
+                   CAST(sad AS BIGINT), verified
+            FROM vpairs
         """
 
 
@@ -2227,23 +2242,49 @@ def q_image_phash_neardup(spark, sf):
     continuous-ingest path (similarity.incremental_phash_pairs — the
     variants arrive as a NEW crawl batch whose banded phashes join the
     base images' persisted bands, no historical recompute; the oracle
-    states the invariant: one-shot pairs touching >= 1 new image)."""
+    states the invariant: one-shot pairs touching >= 1 new image).
+
+    'verified' (r6): PIXEL VERIFICATION of the candidate pairs — the
+    stage between "candidate" and "delete" (similarity.
+    verify_near_dup_pairs): integer 8x8 mean-pooled channel-sum luma
+    grids from one Arrow decode pass, SAD <= 512 confirms. The
+    gen_verify_images fixture plants both outcomes: lossy 'dct'
+    re-encodes (true near-dups verification must CONFIRM) and +24
+    global-brightness copies (phash collides — every AC-DCT sign is
+    preserved — but pixels are far; verification must REJECT). The
+    oracle recomputes candidates by EXACT all-pairs Hamming (re-validating
+    the banded-LSH pigeonhole recall, the scene_dup pattern) and grids/
+    SAD by explicit pure-Python pixel loops
+    (oracle/expected.py:verified_neardup_rows), inlined as VALUES."""
+    from jobscrawler_spark.generators import gen_verify_images
     from jobscrawler_spark.operators.similarity import (
         incremental_phash_pairs,
         phash_bands,
         phash_near_dup_pairs,
+        verify_near_dup_pairs,
     )
 
+    nosad = [
+        F.lit(None).cast("bigint").alias("sad"),
+        F.lit(None).cast("boolean").alias("verified"),
+    ]
     imgs = _phash_fixture_df(spark)
     batch = phash_near_dup_pairs(imgs).select(
-        F.lit("batch").alias("kind"), "id_a", "id_b", "hamming"
+        F.lit("batch").alias("kind"), "id_a", "id_b", "hamming", *nosad
     )
     old_b = phash_bands(imgs.filter(~F.col("image_id").endswith("~v")))
     new_b = phash_bands(imgs.filter(F.col("image_id").endswith("~v")))
     incr = incremental_phash_pairs(new_b, old_b).select(
-        F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming"
+        F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming", *nosad
     )
-    return batch.unionByName(incr)
+    vf = spark.createDataFrame(
+        gen_verify_images(48),
+        "image_id string, bytes binary, w int, h int, fmt string, phash long",
+    )
+    ver = verify_near_dup_pairs(phash_near_dup_pairs(vf), vf).select(
+        F.lit("verified").alias("kind"), "id_a", "id_b", "hamming", "sad", "verified"
+    )
+    return batch.unionByName(incr).unionByName(ver)
 
 
 def q_image_dedup_clusters(spark, sf):

@@ -743,3 +743,61 @@ def world_locations_nested() -> dict:
                 if r["tag"] in c:
                     c[r["tag"]].append(r["alias"])
     return nested
+
+
+def gen_verify_images(n: int = 48, seed: int = 42) -> pd.DataFrame:
+    """Fixture for the pixel-verification stage of image dedup
+    (q_image_phash_neardup kind='verified'): gen_images(n) base rows
+    plus two planted near-dup classes —
+
+    - every 4th image re-encoded with the lossy 'dct' codec (id + '~r'):
+      a TRUE near-dup (small Hamming distance, tiny pixel SAD) that
+      verification must CONFIRM;
+    - every 16th image with +24 global brightness (id + '~b', 'raw'):
+      a phash FALSE POSITIVE — a uniform shift preserves every AC-DCT
+      sign so the hashes collide, but the pooled-luma grids differ by
+      ~72/cell — that verification must REJECT.
+
+    phashes are recomputed from the planted pixels with the engine's own
+    codec (fixture construction is INPUT, per the single-construction
+    rule; oracle/expected.py re-derives the verification STATISTIC
+    freshly)."""
+    rows = []
+    for i, r in enumerate(gen_images(n, seed).itertuples()):
+        rows.append(
+            {
+                "image_id": r.image_id,
+                "bytes": r.bytes,
+                "w": r.w,
+                "h": r.h,
+                "fmt": r.fmt,
+                "phash": int(r.phash),
+            }
+        )
+        px = codecs.decode(bytes(r.bytes), r.fmt)
+        if i % 4 == 0:
+            data = codecs.encode(px, "dct")
+            dec = codecs.decode(data, "dct")
+            rows.append(
+                {
+                    "image_id": r.image_id + "~r",
+                    "bytes": data,
+                    "w": r.w,
+                    "h": r.h,
+                    "fmt": "dct",
+                    "phash": codecs.phash(dec),
+                }
+            )
+        if i % 16 == 0:
+            shifted = np.minimum(px.astype(np.int64) + 24, 255).astype(np.uint8)
+            rows.append(
+                {
+                    "image_id": r.image_id + "~b",
+                    "bytes": codecs.encode(shifted, "raw"),
+                    "w": r.w,
+                    "h": r.h,
+                    "fmt": "raw",
+                    "phash": codecs.phash(shifted),
+                }
+            )
+    return pd.DataFrame(rows)

@@ -516,3 +516,96 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "sim", "rank")
     )
+
+
+VERIFY_GRID = 8
+VERIFY_SAD_THRESHOLD = 512  # mean per-cell luma-sum deviation <= 8
+
+
+def image_grids(
+    images: DataFrame,
+    grid: int = VERIFY_GRID,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, grid) — the INTEGER ``grid x grid`` mean-pooled luma grid of
+    each decoded image: cell (gy, gx) covers pixel rows
+    ``[gy*h//g, (gy+1)*h//g)`` x cols ``[gx*w//g, (gx+1)*w//g)`` and
+    holds ``sum(luma) // n_pixels`` with luma = r+g+b (the channel-sum
+    integer luma of detect_scene_cuts — no float crosses engines;
+    degenerate empty cells on sub-``grid``-pixel images yield 0). One
+    Arrow pass over the bytes column (mapInPandas), map-side at any
+    corpus size — the same shape as extract/curation."""
+    import pandas as pd
+
+    from ..functions import codecs
+
+    g = int(grid)
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, grids = [], []
+            for r in pdf.itertuples():
+                px = codecs.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                luma = px.sum(axis=2)
+                h, w = luma.shape
+                cells = []
+                for gy in range(g):
+                    y0, y1 = gy * h // g, (gy + 1) * h // g
+                    for gx in range(g):
+                        x0, x1 = gx * w // g, (gx + 1) * w // g
+                        blk = luma[y0:y1, x0:x1]
+                        cells.append(
+                            0 if blk.size == 0 else int(blk.sum()) // blk.size
+                        )
+                ids.append(getattr(r, id_col))
+                grids.append(cells)
+            yield pd.DataFrame({id_col: ids, "grid": grids})
+
+    return images.select(id_col, "bytes", "fmt").mapInPandas(
+        fn, f"{id_col} string, grid array<bigint>"
+    )
+
+
+def verify_near_dup_pairs(
+    pairs: DataFrame,
+    images: DataFrame,
+    grid: int = VERIFY_GRID,
+    sad_threshold: int = VERIFY_SAD_THRESHOLD,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """PIXEL VERIFICATION of LSH candidate pairs — the stage between
+    "candidate" and "delete" every production dedup runs: perceptual-hash
+    LSH has false positives (a global brightness/contrast shift preserves
+    every AC-DCT sign, so phash collides while the pixels are far), and
+    at 10^10 images "verify by decoding both sides" is affordable ONLY
+    on the candidate set (|pairs| << |corpus|), never all-pairs.
+
+    verdict: ``sad = sum |grid_a - grid_b|`` over the integer mean-pooled
+    luma grids; ``verified = sad <= sad_threshold``. Integer throughout.
+
+    Scale shape: one Arrow decode pass for the grids, two uniform-key
+    equi-joins (pairs ⋈ grids on each side — candidate-bounded), SAD via
+    zip_with/aggregate in whole-stage codegen. The grids can also be
+    computed once at landing time (extract/curation already decode) and
+    persisted beside the phash, making verification decode-free."""
+    grids = image_grids(images, grid, id_col)
+    ga = grids.select(
+        F.col(id_col).alias("id_a"), F.col("grid").alias("__ga")
+    )
+    gb = grids.select(
+        F.col(id_col).alias("id_b"), F.col("grid").alias("__gb")
+    )
+    sad = F.aggregate(
+        F.zip_with("__ga", "__gb", lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("sad", sad)
+        .withColumn("verified", F.col("sad") <= F.lit(int(sad_threshold)))
+        .drop("__ga", "__gb")
+    )

@@ -962,3 +962,56 @@ def dsir_selected_independent(
             and hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8] < tie_hex
         )
     )
+
+
+def verified_neardup_rows(
+    n: int = 48,
+    seed: int = 42,
+    max_hamming: int = 7,
+    grid: int = 8,
+    sad_threshold: int = 512,
+) -> list[tuple]:
+    """'verified'-kind rows for q_image_phash_neardup: candidate pairs +
+    pixel verification re-derived FRESHLY over the gen_verify_images
+    fixture (construction is input) — candidates by EXACT all-pairs
+    Hamming (so the hash match re-validates the banded-LSH pigeonhole
+    recall on this data, the scene_dup pattern), grids by explicit
+    pure-Python pixel loops (no numpy pooling), SAD and the verdict in
+    plain integer arithmetic. Pins similarity.verify_near_dup_pairs
+    bit-for-bit."""
+    from ..functions import codecs
+    from ..generators import gen_verify_images
+
+    imgs = list(gen_verify_images(n, seed).itertuples())
+    grids: dict[str, list[int]] = {}
+    for r in imgs:
+        px = codecs.decode(bytes(r.bytes), r.fmt)
+        h, w = int(px.shape[0]), int(px.shape[1])
+        flat = [int(v) for v in px.reshape(-1).tolist()]  # h*w*3 channel values
+        cells = []
+        for gy in range(grid):
+            y0, y1 = gy * h // grid, (gy + 1) * h // grid
+            for gx in range(grid):
+                x0, x1 = gx * w // grid, (gx + 1) * w // grid
+                tot, cnt = 0, 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        base = (y * w + x) * 3
+                        tot += flat[base] + flat[base + 1] + flat[base + 2]
+                        cnt += 1
+                cells.append(0 if cnt == 0 else tot // cnt)
+        grids[r.image_id] = cells
+    rows: list[tuple] = []
+    for i in range(len(imgs)):
+        for j in range(i + 1, len(imgs)):
+            a, b = imgs[i], imgs[j]
+            id_a, id_b = sorted((a.image_id, b.image_id))
+            ham = bin((int(a.phash) ^ int(b.phash)) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham > max_hamming:
+                continue
+            sad = sum(
+                x - y if x >= y else y - x
+                for x, y in zip(grids[a.image_id], grids[b.image_id])
+            )
+            rows.append((id_a, id_b, ham, sad, sad <= sad_threshold))
+    return sorted(rows)

@@ -456,3 +456,58 @@ def test_preferred_survivor_max_pref_ties_lowest_id(spark):
         for r in preferred_survivor(labeled, "res").collect()
     }
     assert got == {"a": "b", "b": "b", "c": "b", "d": "d", "e": "d", "f": "f"}
+
+
+# ------------------------------------------------ pixel verification (r6)
+
+
+def _verify_fixture(spark, n=16):
+    from jobscrawler_spark.generators import gen_verify_images
+
+    return spark.createDataFrame(
+        gen_verify_images(n),
+        "image_id string, bytes binary, w int, h int, fmt string, phash long",
+    )
+
+
+def test_verify_confirms_reencodes_rejects_brightness(spark):
+    """The planted outcomes: lossy dct re-encodes are TRUE near-dups
+    (confirm); +24-brightness copies collide on phash (hamming 0 — every
+    AC-DCT sign preserved) but verification must reject them."""
+    imgs = _verify_fixture(spark, 16)
+    out = {
+        (r["id_a"], r["id_b"]): (r["hamming"], r["sad"], r["verified"])
+        for r in SIM.verify_near_dup_pairs(
+            SIM.phash_near_dup_pairs(imgs), imgs
+        ).collect()
+    }
+    rebases = [(a, b) for a, b in out if b == a + "~r"]
+    brights = [(a, b) for a, b in out if b == a + "~b"]
+    assert len(rebases) == 4 and len(brights) == 1
+    for p in rebases:
+        assert out[p][2] is True, p
+    for p in brights:
+        ham, sad, verified = out[p]
+        assert ham == 0 and verified is False and sad > 512, p
+
+
+def test_image_grids_partitioning_invariant_and_degenerate(spark):
+    import pandas as pd
+
+    from jobscrawler_spark.functions import codecs
+
+    imgs = _verify_fixture(spark, 12)
+    one = {r["image_id"]: r["grid"] for r in SIM.image_grids(imgs.coalesce(1)).collect()}
+    many = {r["image_id"]: r["grid"] for r in SIM.image_grids(imgs.repartition(5)).collect()}
+    assert one == many and all(len(g) == 64 for g in one.values())
+    # degenerate: a 4x4 image has empty 8x8 cells -> zeros, no crash
+    import numpy as np
+
+    tiny = np.full((4, 4, 3), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"image_id": "t", "bytes": codecs.encode(tiny, "raw"), "fmt": "raw"}]
+        )
+    )
+    g = SIM.image_grids(df).collect()[0]["grid"]
+    assert len(g) == 64 and set(g) == {0, 300}  # 100*3 luma in occupied cells
