@@ -433,8 +433,15 @@ def q_s_robots_parse(spark, sf):
     url_quality_score — integer penalty contract: spam words, length,
     IP/digit/hyphen hosts, path depth, param spray, blocklist) over the
     eight-class planted fixture, item = url, allow = keep, lastmod =
-    score. Oracle: same bodies/urls inlined as VALUES, same parses and
-    scoring in DuckDB SQL."""
+    score. 'trap' rows (r6) are CRAWL-TRAP DETECTION
+    (functions/urls.detect_crawl_traps): per-host URL-template
+    populations (digit runs in the path collapse to N, so calendar/
+    pagination/session explosions land on ONE template while organic
+    slugs stay distinct); a template over the 32-URL cap is a trap —
+    item = template, allow = NOT is_trap (keep), lastmod = n_urls, over
+    the gen_trap_urls planted classes. Oracle: same bodies/urls inlined
+    as VALUES, same parses and scoring in DuckDB SQL (the template
+    regex is RE2-safe and repeated verbatim)."""
     from jobscrawler_spark.generators import gen_sitemap_bodies
     from jobscrawler_spark.operators.frontier import (
         parse_robots_sitemaps,
@@ -476,7 +483,19 @@ def q_s_robots_parse(spark, sf):
         F.col("keep").alias("allow"),
         F.col("score").cast("string").alias("lastmod"),
     )
-    return rules.unionByName(refs).unionByName(sm).unionByName(uf)
+    from jobscrawler_spark.functions.urls import detect_crawl_traps
+    from jobscrawler_spark.generators import gen_trap_urls
+
+    traps = detect_crawl_traps(
+        spark.createDataFrame(gen_trap_urls(), "url string")
+    ).select(
+        "host",
+        F.lit("trap").alias("kind"),
+        F.col("template").alias("item"),
+        (~F.col("is_trap")).alias("allow"),
+        F.col("n_urls").cast("string").alias("lastmod"),
+    )
+    return rules.unionByName(refs).unionByName(sm).unionByName(uf).unionByName(traps)
 
 
 def _robots_parse_oracle() -> str:
@@ -490,10 +509,15 @@ def _robots_parse_oracle() -> str:
     def q(s) -> str:
         return "'" + str(s).replace("'", "''") + "'"
 
+    from jobscrawler_spark.functions.urls import TRAP_TEMPLATE_CAP
+    from jobscrawler_spark.generators import gen_trap_urls
+
     rb, sb = gen_sitemap_bodies(8, seed=5)
     body_rows = ",\n".join(f"({q(r.host)}, {q(r.body)})" for r in rb.itertuples())
     sm_rows = ",\n".join(f"({q(r.host)}, {q(r.body)})" for r in sb.itertuples())
     url_rows = ",\n".join(f"({q(r.url)})" for r in gen_filter_urls(128).itertuples())
+    trap_rows = ",\n".join(f"({q(r.url)})" for r in gen_trap_urls().itertuples())
+    trap_cap = TRAP_TEMPLATE_CAP
     spam_pred = " OR ".join(f"contains(lower(url), {q(w)})" for w in SPAM_WORDS)
     bl = ", ".join(q(h) for h in BLOCKLIST_HOSTS)
     return rf"""
@@ -579,11 +603,30 @@ def _robots_parse_oracle() -> str:
                  CAST(NULL AS BOOLEAN) AS allow,
                  nullif(trim(regexp_extract(blk, '(?is)<lastmod(?:\s[^>]*)?>\s*(.*?)\s*</lastmod\s*>', 1)), '') AS lastmod
           FROM smblocks
-          WHERE trim(regexp_extract(blk, '(?is)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc\s*>', 1)) <> '')
+          WHERE trim(regexp_extract(blk, '(?is)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc\s*>', 1)) <> ''),
+        -- r6 crawl-trap detection: digit runs in the path collapse to N
+        trapu(url) AS (VALUES {trap_rows}),
+        trapt AS (
+          SELECT lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+                 CASE WHEN regexp_replace(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1),
+                        '[0-9]+', 'N', 'g') = '' THEN '/'
+                      ELSE regexp_replace(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1),
+                        '[0-9]+', 'N', 'g') END AS template,
+                 url
+          FROM trapu),
+        traprows AS (
+          SELECT host, 'trap' AS kind, template AS item,
+                 NOT (count(DISTINCT url) > {trap_cap}) AS allow,
+                 CAST(count(DISTINCT url) AS VARCHAR) AS lastmod
+          FROM trapt GROUP BY host, template)
         SELECT * FROM rules
         UNION ALL SELECT * FROM refs
         UNION ALL SELECT * FROM smrows
         UNION ALL SELECT * FROM ufrows
+        UNION ALL SELECT * FROM traprows
     """
 
 

@@ -199,3 +199,90 @@ def url_quality_score_py(
         + (100 if host in blocklist else 0)
     )
     return host, score
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection (r6): URL-template population analysis
+# ---------------------------------------------------------------------------
+
+TRAP_TEMPLATE_CAP = 32
+
+
+def url_path_template(url: Column) -> Column:
+    """The URL's path with digit runs collapsed to ``N`` — the template a
+    crawler trap stamps out by the million (calendar pages, paginated
+    listings, session-id paths all collapse to ONE template while organic
+    slugs stay distinct). Query strings are excluded (the quality gate
+    already penalizes param spray); an empty path is '/'. RE2-safe so the
+    DuckDB oracle repeats the expression verbatim."""
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    t = F.regexp_replace(path, "[0-9]+", "N")
+    return F.when(t == "", F.lit("/")).otherwise(t)
+
+
+def detect_crawl_traps(
+    urls: DataFrame,
+    cap: int = TRAP_TEMPLATE_CAP,
+    url_col: str = "url",
+) -> DataFrame:
+    """(host, template, n_urls, is_trap): per-host URL-template
+    populations; a template whose DISTINCT-URL population exceeds
+    ``cap`` is a crawl trap (calendar/pagination/session explosion) —
+    the classic frontier defense: a trap host does not fill the fetch
+    budget with one template's infinite page space.
+
+    Scale shape (10^10 URLs): one groupBy on the (host, template)
+    dimension — uniform keys (a trap is ONE counter, never a fan-out; the
+    distinct is per (host, template, url), also uniform); the result is
+    template-dimension-sized, broadcastable back onto the frontier."""
+    host = _uf_host(F.col(url_col))
+    return (
+        urls.select(
+            host.alias("host"),
+            url_path_template(F.col(url_col)).alias("template"),
+            F.col(url_col).alias("__u"),
+        )
+        .groupBy("host", "template")
+        .agg(F.countDistinct("__u").alias("n_urls"))
+        .withColumn("is_trap", F.col("n_urls") > F.lit(int(cap)))
+    )
+
+
+def trap_filter(
+    urls: DataFrame,
+    cap: int = TRAP_TEMPLATE_CAP,
+    url_col: str = "url",
+) -> DataFrame:
+    """Cap every trap template's population at ~``cap`` URLs,
+    deterministically: a URL on a trap template survives iff the md5 hex
+    prefix of 'trap|<url>' falls below ``cap / n_urls`` rendered as an
+    8-hex threshold (the weighted_mix decision rule — map-side, engine-
+    and partitioning-reproducible, no rank window over the very bucket
+    whose size is the problem). Non-trap templates pass untouched.
+    Survivor count per template is cap +- hash-binomial deviation."""
+    traps = detect_crawl_traps(urls, cap, url_col)
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.round(F.lit(float(cap)) / F.col("n_urls") * F.lit(2.0**32)).cast(
+                    "bigint"
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    dim = traps.filter("is_trap").select("host", "template", thr.alias("__thr"))
+    host = _uf_host(F.col(url_col))
+    prefix = F.substring(F.md5(F.concat(F.lit("trap|"), F.col(url_col))), 1, 8)
+    return (
+        urls.withColumn("__h", host)
+        .withColumn("__t", url_path_template(F.col(url_col)))
+        .join(
+            F.broadcast(dim),
+            (F.col("__h") == dim["host"]) & (F.col("__t") == dim["template"]),
+            "left",
+        )
+        .filter(F.col("__thr").isNull() | (prefix < F.col("__thr")))
+        .drop("__h", "__t", "host", "template", "__thr")
+    )

@@ -801,3 +801,29 @@ def gen_verify_images(n: int = 48, seed: int = 42) -> pd.DataFrame:
                 }
             )
     return pd.DataFrame(rows)
+
+
+def gen_trap_urls(seed: int = 42) -> pd.DataFrame:
+    """Planted URL-template classes for crawl-trap detection
+    (functions/urls.detect_crawl_traps, cap 32):
+
+    - trap0: a 64-URL calendar trap — every date collapses to
+      /cal/N/N/N (OVER the cap -> trap)
+    - trap1: a 48-URL pagination trap — /list/page/N (over -> trap)
+    - ok0: 24 organic slugs, each its OWN template (letters don't
+      collapse; singleton populations -> benign)
+    - ok1: a 16-URL template /p/N (UNDER the cap -> benign)
+    """
+    urls = []
+    for y in (2023, 2024):
+        for m in range(1, 9):
+            for d in (1, 9, 17, 25):
+                urls.append(f"http://trap0.example.com/cal/{y}/{m:02d}/{d:02d}")
+    for p in range(1, 49):
+        urls.append(f"http://trap1.example.com/list/page/{p}")
+    for i in range(24):
+        slug = chr(97 + i % 26) + chr(97 + (i * 7) % 26) + chr(97 + (i * 11) % 26)
+        urls.append(f"http://ok0.example.com/article/item-{slug}")
+    for i in range(16):
+        urls.append(f"http://ok1.example.com/p/{i}")
+    return pd.DataFrame({"url": urls})

@@ -201,3 +201,61 @@ def test_url_filter_handcrafted_scores(spark):
     assert h == "10.1.2.3" and s == 4  # ip (+2) and digit-heavy (+2)
     # param spray alone is a +1 nudge, not a rejection
     assert url_quality_score_py("http://ok.example.com/p?a=1&b=2&c=3&d=4&e=5")[1] == 1
+
+
+# ------------------------------------------------- crawl traps (r6)
+
+
+def test_url_path_template_edges(spark):
+    from jobscrawler_spark.functions.urls import url_path_template
+
+    cases = {
+        "http://h.com/cal/2024/01/05": "/cal/N/N/N",
+        "http://h.com/a1b2/x": "/aNbN/x",
+        "http://h.com/list?page=9": "/list",  # query excluded
+        "http://h.com": "/",                  # no path
+        "http://h.com/": "/",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["t"]
+        for r in df.select("url", url_path_template(F.col("url")).alias("t")).collect()
+    }
+    assert got == cases
+
+
+def test_detect_crawl_traps_planted_classes(spark):
+    from jobscrawler_spark.functions.urls import detect_crawl_traps
+    from jobscrawler_spark.generators import gen_trap_urls
+
+    df = spark.createDataFrame(gen_trap_urls(), "url string")
+    out = {
+        (r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+        for r in detect_crawl_traps(df).collect()
+    }
+    assert out[("trap0.example.com", "/cal/N/N/N")] == (64, True)
+    assert out[("trap1.example.com", "/list/page/N")] == (48, True)
+    assert out[("ok1.example.com", "/p/N")] == (16, False)
+    ok0 = {k: v for k, v in out.items() if k[0] == "ok0.example.com"}
+    assert len(ok0) == 24 and all(v == (1, False) for v in ok0.values())
+
+
+def test_trap_filter_caps_traps_keeps_benign(spark):
+    from jobscrawler_spark.functions.urls import trap_filter
+    from jobscrawler_spark.generators import gen_trap_urls
+
+    df = spark.createDataFrame(gen_trap_urls(), "url string")
+    kept = [r["url"] for r in trap_filter(df).collect()]
+    by_host = {}
+    for u in kept:
+        h = u.split("/")[2]
+        by_host[h] = by_host.get(h, 0) + 1
+    # benign hosts untouched
+    assert by_host["ok0.example.com"] == 24
+    assert by_host["ok1.example.com"] == 16
+    # trap hosts capped near 32 (hash-binomial deviation)
+    assert 16 <= by_host["trap0.example.com"] <= 48
+    assert 16 <= by_host["trap1.example.com"] <= 48
+    # deterministic across partitionings
+    kept2 = [r["url"] for r in trap_filter(df.repartition(7)).collect()]
+    assert sorted(kept) == sorted(kept2)
