@@ -225,9 +225,27 @@ def test_corpus_ops_plans(spark):
     assert keys == {"source", "aspect"}, exchanges
     assert len(exchanges) <= 3, exchanges
 
-    p = _plan(E.q_corpus_mix(spark, SF))
+    # the weighted/temperature mixing branches are MAP-SIDE (broadcast
+    # rates dim only; the fact side never shuffles) — pinned directly
+    from jobscrawler_spark.operators.corpus import mix_threshold_hex, weighted_mix
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = spark.createDataFrame(
+        [("s", mix_threshold_hex(0.5))], "source string, threshold_hex string"
+    )
+    p = _plan(weighted_mix(d, rates))
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning(" not in p, p
+
+    # the full gate adds the r6 DSIR kind, whose scoring/selection is
+    # ALLOWED to shuffle — but only on uniform doc_id keys (the score
+    # groupBy and the join back); the lr table joins broadcast
+    p = _plan(E.q_corpus_mix(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for line in p.splitlines():
+        if "hashpartitioning(" in line:
+            assert "doc_id" in line, line
 
 
 def test_repeated_spans_plan(spark):
