@@ -263,6 +263,12 @@ def gen_curation_images(n: int = 160, seed: int = 42) -> pd.DataFrame:
             url = f"http://cur{seed}.example.com/i/{i}"
             data, w, h, fmt, caption, ph = fetch_payload(url)
             image_id = canonicalize_py(url)
+            # r6 caption-defect classes (planted on kind-3 rows; pixels
+            # untouched so only the caption verdicts differ):
+            if i % 20 == 3:  # SEO keyword-stuffed: high repeated-token frac
+                caption = " ".join(["buy", "cheap", "now"] * 8)
+            elif i % 20 == 13:  # degenerate one-token alt text
+                caption = "img"
         else:
             d = url_digest(f"curation:{seed}:{i}")
             if kind < 6:  # skin-dominant (NSFW stand-in must fire): every

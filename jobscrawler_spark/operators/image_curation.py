@@ -55,6 +55,12 @@ DEFAULTS = {
     "min_contrast": 10.0,
     "align_threshold": 0.0,
     "max_skin_e4": 8000,
+    # r6 caption-quality gates (the DataComp caption-filter slot):
+    # degenerate alt text ("img"), runaway scrapes, and SEO keyword
+    # stuffing (repeated-token fraction as an exact scaled integer)
+    "min_cap_tokens": 2,
+    "max_cap_tokens": 64,
+    "max_cap_rep_e4": 5000,
 }
 
 PROFILE_SCHEMA = (
@@ -202,9 +208,28 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
             "image_id string", "image_id string, caption string"
         ).replace("entropy double", "entropy double, skin_e4 long"),
     )
+    from ..functions.text import tokens_col
+
     cap_vec = synth_embedding(F.col("caption"), dim=dim)
+    cap_toks = tokens_col(F.col("caption"))
     return (
         prof.withColumn("align_e6", _cosine_e6(F.col("img_vec"), cap_vec))
+        .withColumn("cap_tokens", F.size(cap_toks).cast("int"))
+        .withColumn("__cap_nd", F.size(F.array_distinct(cap_toks)))
+        .withColumn(
+            "cap_rep_e4",
+            F.expr(
+                "CAST(CASE WHEN cap_tokens <= 0 THEN 0"
+                " ELSE ((cap_tokens - __cap_nd) * 10000) div cap_tokens"
+                " END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "flagged_caption",
+            (F.col("cap_tokens") < F.lit(int(t["min_cap_tokens"])))
+            | (F.col("cap_tokens") > F.lit(int(t["max_cap_tokens"])))
+            | (F.col("cap_rep_e4") > F.lit(int(t["max_cap_rep_e4"]))),
+        )
         .withColumn("too_small", (F.col("w") < t["min_side"]) | (F.col("h") < t["min_side"]))
         .withColumn(
             "bad_aspect",
@@ -223,9 +248,10 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
                 | F.col("low_contrast")
                 | F.col("misaligned")
                 | F.col("flagged_nsfw")
+                | F.col("flagged_caption")
             ),
         )
-        .drop("img_vec", "caption")
+        .drop("img_vec", "caption", "__cap_nd")
     )
 
 

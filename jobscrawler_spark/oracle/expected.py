@@ -200,6 +200,11 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
                 and abs(rr - gg) > 15 and rr > gg and rr > bb
             ):
                 skin += 1
+        # r6 caption-quality gates: whitespace tokens + repeated-token
+        # fraction as an exact scaled integer (pure-Python arithmetic)
+        cap_toks = [tk for tk in r["caption"].split() if tk]
+        n_cap = len(cap_toks)
+        rep_e4 = 0 if n_cap <= 0 else ((n_cap - len(set(cap_toks))) * 10000) // n_cap
         rec = {
             "image_id": r["image_id"],
             "w": w,
@@ -210,6 +215,8 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             "entropy": round(entropy, 4),
             "skin_e4": skin * 10000 // len(px),
             "align_e6": int(math.floor(cos * 1e6 + 0.5)),
+            "cap_tokens": n_cap,
+            "cap_rep_e4": rep_e4,
         }
         rec["too_small"] = w < t["min_side"] or h < t["min_side"]
         rec["bad_aspect"] = rec["aspect"] < t["min_aspect"] or rec["aspect"] > t["max_aspect"]
@@ -217,6 +224,11 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
         rec["low_contrast"] = rec["luma_std"] < t["min_contrast"]
         rec["misaligned"] = rec["align_e6"] < thr_e6
         rec["flagged_nsfw"] = rec["skin_e4"] > t["max_skin_e4"]
+        rec["flagged_caption"] = (
+            n_cap < t["min_cap_tokens"]
+            or n_cap > t["max_cap_tokens"]
+            or rep_e4 > t["max_cap_rep_e4"]
+        )
         rec["keep"] = not (
             rec["too_small"]
             or rec["bad_aspect"]
@@ -224,6 +236,7 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             or rec["low_contrast"]
             or rec["misaligned"]
             or rec["flagged_nsfw"]
+            or rec["flagged_caption"]
         )
         out.append(rec)
     return out
@@ -244,8 +257,10 @@ def image_curation_rows(n: int = 160, seed: int = 42) -> list[tuple]:
         (
             r["image_id"], r["w"], r["h"], r["aspect"], r["luma_mean"],
             r["luma_std"], r["entropy"], r["skin_e4"], r["align_e6"],
+            r["cap_tokens"], r["cap_rep_e4"],
             r["too_small"], r["bad_aspect"], r["low_entropy"],
-            r["low_contrast"], r["misaligned"], r["flagged_nsfw"], r["keep"],
+            r["low_contrast"], r["misaligned"], r["flagged_nsfw"],
+            r["flagged_caption"], r["keep"],
         )
         for r in rows
     ]

@@ -102,3 +102,26 @@ def test_alignment_threshold_is_integer_compare(fixture_pdf, oracle_rows):
     for base, sh in zip(oracle_rows, sorted(shifted, key=lambda r: r["image_id"])):
         assert sh["misaligned"] == (sh["align_e6"] < 250000)
         assert base["align_e6"] == sh["align_e6"]
+
+
+def test_caption_defect_classes_flagged(fixture_pdf, oracle_rows):
+    """r6 caption-quality gates: the planted keyword-stuffed captions
+    (i % 20 == 3, 'buy cheap now' x 8 -> rep_e4 8750) and one-token
+    captions (i % 20 == 13) must be the ONLY flagged_caption rows."""
+    planted = {
+        r.image_id
+        for r in fixture_pdf.itertuples()
+        if "/i/" in r.image_id
+        and int(r.image_id.rsplit("/", 1)[1]) % 20 in (3, 13)
+    }
+    assert planted
+    for r in oracle_rows:
+        if r["image_id"] in planted:
+            assert r["flagged_caption"] and not r["keep"], r
+            i = int(r["image_id"].rsplit("/", 1)[1])
+            if i % 20 == 3:
+                assert r["cap_tokens"] == 24 and r["cap_rep_e4"] == 8750, r
+            else:
+                assert r["cap_tokens"] == 1 and r["cap_rep_e4"] == 0, r
+        else:
+            assert not r["flagged_caption"], r
