@@ -2381,15 +2381,40 @@ def q_decontaminate_ngram(spark, sf):
     document (identically in the oracle): exactly those documents must be
     flagged, with the shared-gram count of their prefix. Candidates come
     from the md5 gram equi-join with a DF-64 stop-gram cap — never
-    all-pairs (operators/corpus.py:decontaminate_ngram)."""
-    from jobscrawler_spark.operators.corpus import decontaminate_ngram
+    all-pairs (operators/corpus.py:decontaminate_ngram).
+
+    Kind-tagged since r6: 'batch' is the one-shot screen; 'incremental'
+    is the CONTINUOUS path (corpus.incremental_decontaminate) — a NEW
+    benchmark (the bench docs with bench_id % 100 == 50) arrives and
+    joins the PERSISTED corpus gram store (corpus.corpus_gram_table, the
+    decontamination sibling of the minhash/phash band stores) instead of
+    re-exploding the corpus. Exactness — incremental == one-shot
+    restricted to the new benchmark, including the DF cap — is the
+    oracle's stated invariant and is test-pinned with a store round-trip
+    in tests/test_corpus.py."""
+    from jobscrawler_spark.operators.corpus import (
+        corpus_gram_table,
+        decontaminate_ngram,
+        incremental_decontaminate,
+    )
 
     d = _t(spark, sf, "documents")
     bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
         F.col("doc_id").alias("bench_id"),
         T.truncate_tokens(F.col("text"), 24).alias("text"),
     )
-    return decontaminate_ngram(d, bench, n=8, min_shared=1)
+    batch = decontaminate_ngram(d, bench, n=8, min_shared=1).select(
+        F.lit("batch").alias("kind"), "doc_id", "bench_id", "n_shared_grams"
+    )
+    incr = incremental_decontaminate(
+        bench.filter(F.pmod(F.col("bench_id"), F.lit(100)) == 50),
+        corpus_gram_table(d, n=8),
+        n=8,
+        min_shared=1,
+    ).select(
+        F.lit("incremental").alias("kind"), "doc_id", "bench_id", "n_shared_grams"
+    )
+    return batch.unionByName(incr)
 
 
 def q_pack_sequences(spark, sf):
@@ -3430,11 +3455,18 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM (SELECT bench_id,
                            unnest(list_zip(l, l[2:], l[3:], l[4:], l[5:], l[6:], l[7:], l[8:])) AS z
                     FROM btoks)
-              WHERE z[8] IS NOT NULL)
-            SELECT d.doc_id, b.bench_id, count(*) AS n_shared_grams
-            FROM dg d JOIN bg b USING (gram)
-            GROUP BY d.doc_id, b.bench_id
-            HAVING count(*) >= 1
+              WHERE z[8] IS NOT NULL),
+            res AS (
+              SELECT d.doc_id, b.bench_id, count(*) AS n_shared_grams
+              FROM dg d JOIN bg b USING (gram)
+              GROUP BY d.doc_id, b.bench_id
+              HAVING count(*) >= 1)
+            SELECT 'batch' AS kind, doc_id, bench_id, n_shared_grams FROM res
+            UNION ALL
+            -- incremental screen vs the persisted gram store == one-shot
+            -- restricted to the NEW benchmark (exact, incl. the DF cap)
+            SELECT 'incremental', doc_id, bench_id, n_shared_grams FROM res
+            WHERE bench_id % 100 = 50
         """,
         # corpus_mix is added in the sf-dependent block below (its
         # 'temperature' kind re-derives the size^alpha thresholds from

@@ -82,14 +82,33 @@ def decontaminate_ngram(
     oracle mirrors it.
     """
     bg = _gram_hashes(benchmark, text_col, bench_id_col, n)
-    # restrict the corpus side to grams that occur in the benchmark FIRST
-    # (broadcast semi-join; eval sets are small by construction): the DF
-    # cap then aggregates only the matched grams' occurrences instead of
-    # the full corpus gram set — identical semantics (a gram's document
-    # frequency counts all its corpus rows, and every row of a matched
-    # gram survives the semi-join; unmatched grams never reach the output
-    # so their cap decision is irrelevant)
-    dg = _gram_hashes(docs, text_col, id_col, n).join(
+    return _decontaminate_tail(
+        _gram_hashes(docs, text_col, id_col, n),
+        bg,
+        id_col,
+        bench_id_col,
+        min_shared,
+        max_doc_freq,
+    )
+
+
+def _decontaminate_tail(
+    corpus_grams: DataFrame,
+    bg: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    min_shared: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared tail of one-shot and incremental decontamination: restrict
+    the corpus gram side to grams that occur in the benchmark FIRST
+    (broadcast semi-join; eval sets are small by construction) — the DF
+    cap then aggregates only the matched grams' occurrences instead of
+    the full corpus gram set, with identical semantics (a gram's document
+    frequency counts all its corpus rows, and every row of a matched
+    gram survives the semi-join; unmatched grams never reach the output
+    so their cap decision is irrelevant)."""
+    dg = corpus_grams.join(
         F.broadcast(bg.select("gram").distinct()), "gram", "left_semi"
     )
     if max_doc_freq is not None:
@@ -105,6 +124,46 @@ def decontaminate_ngram(
         .groupBy(id_col, bench_id_col)
         .agg(F.count("*").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def corpus_gram_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The PERSISTABLE decontamination state: (id, gram md5) — the
+    corpus's distinct word n-grams, written ONCE at landing time
+    (SnapshotTable beside the seen-set/band stores, appended per crawl
+    batch; at scale bucketed on the gram key so benchmark joins
+    co-locate). Each NEW benchmark then joins this store instead of
+    re-exploding 10^10 documents (incremental_decontaminate) — the
+    decontamination sibling of the minhash/phash band stores."""
+    return _gram_hashes(docs, text_col, id_col, n)
+
+
+def incremental_decontaminate(
+    new_benchmark: DataFrame,
+    corpus_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    min_shared: int = 1,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """INCREMENTAL decontamination — a NEW benchmark/eval set arrives and
+    the corpus must be re-screened against it: the new benchmark's grams
+    (small) join the persisted corpus gram store (corpus_gram_table), so
+    the cost is O(benchmark grams + matching corpus rows), never a corpus
+    re-explode. EXACTLY equals decontaminate_ngram(docs, new_benchmark)
+    — including the DF cap, whose per-gram decision depends only on the
+    gram's total corpus row count (test-pinned) — because both run the
+    same _decontaminate_tail over the same gram rows."""
+    bg = _gram_hashes(new_benchmark, text_col, bench_id_col, n)
+    return _decontaminate_tail(
+        corpus_grams, bg, id_col, bench_id_col, min_shared, max_doc_freq
     )
 
 

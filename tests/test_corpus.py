@@ -597,3 +597,83 @@ def test_domain_share_partitioning_invariant(spark):
     one = sorted(map(tuple, domain_share(d.coalesce(1), F.col("lang") == "en").collect()))
     many = sorted(map(tuple, domain_share(d.repartition(7), F.col("lang") == "en").collect()))
     assert one == many
+
+
+# --------------------------------------- incremental decontamination
+
+
+def test_incremental_decontaminate_equals_oneshot(spark, tmp_path):
+    """A new benchmark screening against the persisted corpus gram store
+    must EXACTLY equal the one-shot screen — including the DF cap, whose
+    per-gram decision depends only on total corpus row counts. Also
+    pins the SnapshotTable round-trip (store-read path == direct)."""
+    from jobscrawler_spark.operators.corpus import (
+        corpus_gram_table,
+        incremental_decontaminate,
+    )
+    from jobscrawler_spark.plans.tables import SnapshotTable
+
+    docs = _docs(
+        spark,
+        [(i, "web", W + f" tail{i}") for i in range(6)]       # shared 8-grams
+        + [(i, "web", f"unique text {i} " * 4) for i in range(6, 10)],
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {"bench_id": [100, 101], "text": ["w0 w1 w2 w3 w4 w5 w6 w7 w8", "nothing shared here at all in this benchmark row x"]}
+        )
+    )
+    for cap in (None, 4, 64):
+        one = sorted(
+            map(tuple, decontaminate_ngram(docs, bench, n=8, max_doc_freq=cap).collect())
+        )
+        grams = corpus_gram_table(docs, n=8)
+        incr = sorted(
+            map(
+                tuple,
+                incremental_decontaminate(bench, grams, n=8, max_doc_freq=cap).collect(),
+            )
+        )
+        assert incr == one, cap
+    # store round-trip: persist grams, append a second corpus batch, read
+    store = SnapshotTable(str(tmp_path / "grams"))
+    store.append(corpus_gram_table(docs.filter(F.col("doc_id") < 5), n=8))
+    store.append(corpus_gram_table(docs.filter(F.col("doc_id") >= 5), n=8))
+    via_store = sorted(
+        map(
+            tuple,
+            incremental_decontaminate(bench, store.read(spark), n=8).collect(),
+        )
+    )
+    assert via_store == sorted(
+        map(tuple, decontaminate_ngram(docs, bench, n=8).collect())
+    )
+
+
+def test_incremental_decontaminate_two_bench_batches_union(spark):
+    """Benchmarks arriving in two batches: the union of the two
+    incremental screens == the one-shot screen over both."""
+    from jobscrawler_spark.operators.corpus import (
+        corpus_gram_table,
+        incremental_decontaminate,
+    )
+
+    docs = _docs(spark, [(i, "web", W + f" t{i}") for i in range(8)])
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"bench_id": [1], "text": ["w0 w1 w2 w3 w4 w5 w6 w7"]})
+    )
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"bench_id": [2], "text": ["w1 w2 w3 w4 w5 w6 w7 w8"]})
+    )
+    grams = corpus_gram_table(docs, n=8)
+    got = sorted(
+        map(tuple, incremental_decontaminate(b1, grams, n=8).collect())
+    ) + sorted(map(tuple, incremental_decontaminate(b2, grams, n=8).collect()))
+    want = sorted(
+        map(
+            tuple,
+            decontaminate_ngram(docs, b1.unionByName(b2), n=8).collect(),
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    assert sorted(got, key=lambda t: (t[1], t[0])) == want
