@@ -214,7 +214,12 @@ def q_f_clean_chain(spark, sf):
     al.: terminal punctuation + min-3-words + lorem-ipsum/javascript/'{'
     boilerplate markers) over the doc sentence-split into lines with one
     planted line per drop class — map-side higher-order filter, no
-    explode."""
+    explode; 'norm' (r6) = CCNet-style punctuation/unicode normalization
+    (functions/text.normalize_punct: curly quotes/guillemets/unicode
+    dashes/NBSP fold to ASCII via translate, ellipsis expands, zero-width
+    characters strip — the invisible dedup killers) over each doc wrapped
+    in planted typographic noise; the translate constants are shared
+    verbatim with the oracle like the PII patterns."""
     d = _t(spark, sf, "documents")
     dirty = F.concat(
         F.lit("<b>"), F.col("text"), F.lit("</b> 2024-01-01 USD100-200/yr x-y")
@@ -258,7 +263,22 @@ def q_f_clean_chain(spark, sf):
         c4_clean_lines(lined).alias("cleaned"),
         F.lit("").alias("location"),
     )
-    return ref.unionByName(c4)
+    # norm kind (r6): wrap each doc in planted typographic noise (curly
+    # quotes, em dash, NBSP, ellipsis, ZWSP) and normalize it away
+    from jobscrawler_spark.functions.text import normalize_punct
+
+    noisy = F.concat(
+        F.lit("“"),
+        F.array_join(F.slice(toks, 1, 6), " "),
+        F.lit("” — x…​ ‘y’"),
+    )
+    norm = d.select(
+        F.lit("norm").alias("kind"),
+        "doc_id",
+        normalize_punct(noisy).alias("cleaned"),
+        F.lit("").alias("location"),
+    )
+    return ref.unionByName(c4).unionByName(norm)
 
 
 def q_p7_watermark(spark, sf):
@@ -3215,6 +3235,33 @@ def _oracle_sql_built(sf_dir: str) -> dict[str, str]:
             f"cannot read {sf_dir}/documents.parquet ({e})",
             file=_sys.stderr,
         )
+    # f_clean_chain 'norm' kind (r6): the translate constants are shared
+    # verbatim with functions/text.normalize_punct (the PII-pattern rule);
+    # the noisy-input construction mirrors q_f_clean_chain exactly
+    from jobscrawler_spark.functions.text import (
+        NORM_FROM,
+        NORM_TO,
+        NORM_ZERO_WIDTH,
+    )
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    out["f_clean_chain"] = out["f_clean_chain"] + f"""
+            UNION ALL
+            SELECT 'norm' AS kind, doc_id,
+              regexp_replace(
+                regexp_replace(
+                  translate(
+                    '“' || coalesce(array_to_string(
+                        string_split(text, ' ')[1:6], ' '), '')
+                    || '” — x…​ ‘y’',
+                    {_sq(NORM_FROM)}, {_sq(NORM_TO)}),
+                  '…', '...', 'g'),
+                {_sq(NORM_ZERO_WIDTH)}, '', 'g') AS cleaned,
+              '' AS location
+            FROM documents
+        """
     # fixture-driven end-to-end oracles (sf-independent; no degrade path —
     # a failure here is a bug in the recompute and must surface)
     out.update(_e2e_fixture_oracles())

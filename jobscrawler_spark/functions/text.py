@@ -230,3 +230,30 @@ def c4_clean_lines(text: Column, min_words: int = 3) -> Column:
     return F.array_join(
         F.filter(F.split(text, "\n"), lambda x: c4_line_keep(x, min_words)), "\n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Punctuation/unicode normalization (r6) — the CCNet-style normalizer
+# ---------------------------------------------------------------------------
+
+# 1:1 character fold (curly quotes, guillemets, unicode dashes, exotic
+# spaces -> ASCII), applied via translate in BOTH engines (the constants
+# are shared verbatim with the oracle, like the PII patterns)
+NORM_FROM = "‘’‚‹›«»“”„–—―‐‑  "
+NORM_TO = "'''''\"\"\"\"\"-----  "
+NORM_ZERO_WIDTH = "[​‌‍﻿]"
+
+
+def normalize_punct(text: Column) -> Column:
+    """CCNet-style punctuation/unicode normalization: fold curly quotes,
+    guillemets, en/em/horizontal-bar dashes and non-breaking/thin spaces
+    to their ASCII forms (1:1 translate), expand the ellipsis character
+    to '...', and strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — the
+    invisible dedup killers: two byte-different copies of the same text).
+    Pure Catalyst (translate + two RE2-safe regexps), repeated verbatim
+    by the DuckDB oracle; zero shuffles. Normalization runs BEFORE
+    hashing/dedup in a real pipeline so typographic variants of one
+    sentence collapse onto one md5."""
+    t = F.translate(text, NORM_FROM, NORM_TO)
+    t = F.regexp_replace(t, "…", "...")
+    return F.regexp_replace(t, NORM_ZERO_WIDTH, "")

@@ -170,3 +170,30 @@ def test_c4_clean_lines_plan_is_mapside(spark):
     )
     for node in ("Exchange", "Join", "Generate"):
         assert node not in plan, f"{node} in c4 plan:\n{plan}"
+
+
+def test_normalize_punct_folds_typographic_variants(spark):
+    """r6 CCNet-style normalizer: typographic variants of one sentence
+    must collapse to IDENTICAL bytes (the dedup-killer case), and every
+    fold class fires."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jobscrawler_spark.functions.text import normalize_punct
+
+    rows = [
+        (1, "“Hello” — it’s fine…"),
+        (2, '"Hello" - it\'s fine...'),           # ASCII twin of row 1
+        (3, "a b c"),                    # NBSP + thin space
+        (4, "z​w﻿q"),                    # zero-width + BOM
+        (5, "«guillemets» ‚low‘ „german“ ‐‑―"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "t"]))
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_punct(F.col("t")).alias("n")).collect()
+    }
+    assert got[1] == got[2] == '"Hello" - it\'s fine...'
+    assert got[3] == "a b c"
+    assert got[4] == "zwq"
+    assert got[5] == "\"guillemets\" 'low' \"german\" ---"
