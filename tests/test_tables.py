@@ -121,3 +121,50 @@ def test_frontier_empty_insert_then_read(spark, tmp_path):
     f.insert(rows.limit(0), 1)
     f.compact(spark, 1)  # compaction across the fileless snapshots
     assert f.read(spark).count() == 30
+
+
+# -------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_insert_delete_update(spark, tmp_path):
+    from jobscrawler_spark.plans.tables import SnapshotTable, snapshot_diff
+
+    t = SnapshotTable(str(tmp_path / "cdc"))
+    s0 = t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    s1 = t.append(spark.createDataFrame([(4, "d")], "k int, v string"))
+    # compaction overwrite: 2 deleted, 3 updated, 1/4 unchanged
+    s2 = t.overwrite(spark.createDataFrame(
+        [(1, "a"), (3, "C"), (4, "d"), (5, "e")], "k int, v string"))
+
+    def diff(a, b, cmp=("v",)):
+        return {
+            (r["k"], r["change"])
+            for r in snapshot_diff(t, spark, a, b, ["k"], list(cmp)).collect()
+        }
+
+    assert diff(s0, s1) == {(4, "insert")}
+    assert diff(s1, s2) == {(2, "delete"), (3, "update"), (5, "insert")}
+    assert diff(s0, s2) == {(2, "delete"), (3, "update"), (4, "insert"), (5, "insert")}
+    # reversed direction mirrors
+    assert diff(s2, s0) == {(2, "insert"), (3, "update"), (4, "delete"), (5, "delete")}
+    # identical snapshots -> empty diff
+    assert diff(s2, s2) == set()
+    # key-presence-only mode never reports updates
+    assert {
+        (r["k"], r["change"])
+        for r in snapshot_diff(t, spark, s1, s2, ["k"]).collect()
+    } == {(2, "delete"), (5, "insert")}
+
+
+def test_snapshot_diff_plan_is_single_keyed_join(spark, tmp_path):
+    from jobscrawler_spark.plans.tables import SnapshotTable, snapshot_diff
+
+    t = SnapshotTable(str(tmp_path / "cdcp"))
+    a = t.append(spark.createDataFrame([(i, str(i)) for i in range(50)], "k int, v string"))
+    b = t.append(spark.createDataFrame([(99, "x")], "k int, v string"))
+    p = (
+        snapshot_diff(t, spark, a, b, ["k"], ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
