@@ -2088,17 +2088,40 @@ def q_dedup_minhash_lsh(spark, sf):
     historical recompute. The incremental set must equal the one-shot
     pairs touching >= 1 new doc (the oracle states exactly that), which
     is the invariant that makes batch-at-a-time dedup converge to
-    full-corpus dedup."""
+    full-corpus dedup.
+
+    'verified'/'rejected' rows (r6) run the CANDIDATE-VERIFICATION path
+    (dedupe.verify_candidate_pairs — the text sibling of the r6 pixel
+    verification): the LSH candidates plus 20 planted adjacent-id probe
+    pairs get their EXACT word-3-gram Jaccard as a scaled integer
+    (jacc_e6, integral division — no float crosses engines); candidates
+    at >= 0.5 are confirmed for deletion, the rest rejected. batch /
+    incremental rows carry jacc_e6 = -1 (estimate-only paths)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
-    batch = D.minhash_lsh_pairs(d, n_perm=8, band_size=2, k=3).select(
-        F.lit("batch").alias("kind"), "doc_a", "doc_b"
+    neg1 = F.lit(-1).cast("long")
+    pairs = D.minhash_lsh_pairs(d, n_perm=8, band_size=2, k=3)
+    batch = pairs.select(
+        F.lit("batch").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
     )
     old_bands = D.minhash_bands(d.filter(F.col("doc_id") < 100))
     new_bands = D.minhash_bands(d.filter(F.col("doc_id") >= 100))
     incr = D.incremental_minhash_pairs(new_bands, old_bands).select(
-        F.lit("incremental").alias("kind"), "doc_a", "doc_b"
+        F.lit("incremental").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
     )
-    return batch.unionByName(incr)
+    probes = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    ver = D.verify_candidate_pairs(
+        d, pairs.unionByName(probes).distinct()
+    ).select(
+        F.when(F.col("jacc_e6") >= 500000, F.lit("verified"))
+        .otherwise(F.lit("rejected"))
+        .alias("kind"),
+        "doc_a",
+        "doc_b",
+        "jacc_e6",
+    )
+    return batch.unionByName(incr).unionByName(ver)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -3575,12 +3598,44 @@ def _oracle_sql_static() -> dict[str, str]:
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-              WHERE a.doc_id < b.doc_id)
-            SELECT 'batch' AS kind, doc_a, doc_b FROM pairs
+              WHERE a.doc_id < b.doc_id),
+            -- candidate verification (r6): exact 3-gram Jaccard over the
+            -- LSH candidates + 20 planted adjacent-id probe pairs
+            probe AS (
+              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+              FROM documents WHERE doc_id < 20),
+            cand AS (
+              SELECT doc_a, doc_b FROM pairs
+              UNION SELECT doc_a, doc_b FROM probe),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS shared
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b),
+            ver AS (
+              SELECT c.doc_a, c.doc_b,
+                     CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                               - COALESCE(i.shared, 0) > 0
+                          THEN CAST((COALESCE(i.shared, 0) * 1000000)
+                                    // (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                                        - COALESCE(i.shared, 0)) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS jacc_e6
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+              LEFT JOIN sizes sb ON sb.doc_id = c.doc_b)
+            SELECT 'batch' AS kind, doc_a, doc_b, CAST(-1 AS BIGINT) AS jacc_e6
+            FROM pairs
             UNION ALL
             -- incremental ingest == one-shot pairs touching >= 1 new doc
-            SELECT 'incremental', doc_a, doc_b FROM pairs
+            SELECT 'incremental', doc_a, doc_b, CAST(-1 AS BIGINT) FROM pairs
             WHERE doc_a >= 100 OR doc_b >= 100
+            UNION ALL
+            SELECT CASE WHEN jacc_e6 >= 500000 THEN 'verified'
+                        ELSE 'rejected' END, doc_a, doc_b, jacc_e6
+            FROM ver
         """,
         "text_profile": f"""
             WITH feats AS ({_TF_SQL}),

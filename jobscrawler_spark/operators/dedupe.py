@@ -253,6 +253,71 @@ def incremental_minhash_pairs(
     )
 
 
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT shingle-Jaccard verification of LSH candidate pairs — the
+    text-side sibling of similarity.verify_near_dup_pairs (r6 pixel
+    verification): MinHash banding has false positives (an unlucky band
+    collision, or genuinely low-Jaccard docs sharing one boilerplate
+    band), so production dedup verifies candidates before deleting.
+
+    Returns (doc_a, doc_b, jacc_e6): the exact word-``k``-gram Jaccard as
+    a SCALED INTEGER, ``(|A∩B| * 10^6) div |A∪B|`` — integral division,
+    bit-identical in any engine (no float summation/rounding crosses the
+    oracle boundary). One row per input candidate pair; a pair with no
+    shared shingles scores 0.
+
+    Cost is CANDIDATE-BOUNDED, never corpus x corpus: the shingle table
+    is semi-joined to the pair-doc set first, so the fan-out is
+    O(|pairs| * shingles-per-doc) and the grouping key is the pair itself
+    (uniform). At 100 TB the candidate set arrives pre-capped by
+    ``band_df_cap``, so verification cost is proportional to the dedup
+    OUTPUT, not the corpus. Reference has no near-dup at all (exact ON
+    CONFLICT only, src/crawler.py:204).
+    """
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = shingles_df(docs, text_col, k).join(cand_docs, "doc_id")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a", "left")
+        .join(sb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("__shared"), F.lit(0)).alias("__s"),
+            F.coalesce(F.col("__na"), F.lit(0)).alias("__a"),
+            F.coalesce(F.col("__nb"), F.lit(0)).alias("__b"),
+        )
+        .withColumn(
+            "jacc_e6",
+            F.when(
+                F.col("__a") + F.col("__b") - F.col("__s") > 0,
+                F.expr("CAST((__s * 1000000) DIV (__a + __b - __s) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .select("doc_a", "doc_b", "jacc_e6")
+    )
+
+
 def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over distinct tokens.
 

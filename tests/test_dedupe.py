@@ -511,3 +511,47 @@ def test_image_grids_partitioning_invariant_and_degenerate(spark):
     )
     g = SIM.image_grids(df).collect()[0]["grid"]
     assert len(g) == 64 and set(g) == {0, 300}  # 100*3 luma in occupied cells
+
+
+def _py_jacc_e6(ta, tb, k=3):
+    """Independent Python recompute of the verify_candidate_pairs contract."""
+    ga = {" ".join(ta[i : i + k]) for i in range(len(ta) - k + 1)} if len(ta) >= k else set()
+    gb = {" ".join(tb[i : i + k]) for i in range(len(tb) - k + 1)} if len(tb) >= k else set()
+    union = len(ga | gb)
+    return (len(ga & gb) * 1000000) // union if union else 0
+
+
+def test_verify_candidate_pairs_matches_python_recompute(spark):
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta",
+        1: "alpha beta gamma delta epsilon zeta theta",  # near-dup of 0
+        2: "one two three four five six seven eight",    # disjoint from 0
+        3: "alpha beta gamma nine ten eleven twelve",    # partial overlap with 0
+        4: "short doc",                                   # < k tokens: no shingles
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "doc_a int, doc_b int"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jacc_e6"]
+           for r in D.verify_candidate_pairs(docs, pairs).collect()}
+    want = {(a, b): _py_jacc_e6(texts[a].split(), texts[b].split())
+            for a, b in [(0, 1), (0, 2), (0, 3), (0, 4)]}
+    assert got == want
+    assert got[(0, 1)] > 500000          # confirmed near-dup
+    assert got[(0, 2)] == 0              # zero-overlap candidate: rejected, kept
+    assert 0 < got[(0, 3)] < 500000      # partial overlap: rejected
+    assert got[(0, 4)] == 0              # shingle-less doc scores 0, no crash
+
+
+def test_verify_candidate_pairs_is_candidate_bounded(spark):
+    """Docs outside the candidate pair set must not change any score —
+    the gram table is semi-joined to the pair docs before the fan-out."""
+    base = [(0, "a b c d e f"), (1, "a b c d e g")]
+    noise = [(i, f"n{i} m{i} o{i} p{i} q{i}") for i in range(10, 40)]
+    pairs = spark.createDataFrame([(0, 1)], "doc_a int, doc_b int")
+    small = spark.createDataFrame(base, "doc_id int, text string")
+    big = spark.createDataFrame(base + noise, "doc_id int, text string")
+    r_small = D.verify_candidate_pairs(small, pairs).collect()
+    r_big = D.verify_candidate_pairs(big, pairs).collect()
+    assert sorted(map(tuple, r_small)) == sorted(map(tuple, r_big))
