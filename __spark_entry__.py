@@ -440,6 +440,38 @@ def _p1_selector_oracle() -> str:
     """
 
 
+# planted RFC 9309 wildcard-rule fixture for the 'wildmatch' kind: both the
+# Spark query and the DuckDB oracle consume these verbatim
+WILDMATCH_RULES = [
+    ("w.example.com", "/", True),
+    ("w.example.com", "/d1/*/2$", False),  # anchored mid-star
+    ("w.example.com", "/p/*7", False),     # unanchored mid-star
+    ("w.example.com", "/q", False),        # plain disallow ...
+    ("w.example.com", "/q/*", True),       # ... out-lengthed by wildcard allow
+    ("w.example.com", "/r*", False),
+    ("w.example.com", "/r*", True),        # exact tie: allow wins
+    ("w.example.com", "/s_*x$", False),    # literal _ inside a wildcard rule
+    ("w.example.com", "/t%*", False),      # literal % (percent-encoded paths)
+]
+WILDMATCH_URLS = [
+    ("w.example.com", "http://w.example.com/d1/abc/2"),
+    ("w.example.com", "http://w.example.com/d1/abc/22"),
+    ("w.example.com", "http://w.example.com/d1/abc/2?x=1"),
+    ("w.example.com", "http://w.example.com/p/17"),
+    ("w.example.com", "http://w.example.com/p/170"),
+    ("w.example.com", "http://w.example.com/p/18"),
+    ("w.example.com", "http://w.example.com/q"),
+    ("w.example.com", "http://w.example.com/q/x"),
+    ("w.example.com", "http://w.example.com/r/any"),
+    ("w.example.com", "http://w.example.com/s_bx"),
+    ("w.example.com", "http://w.example.com/sAbx"),
+    ("w.example.com", "http://w.example.com/s_b"),
+    ("w.example.com", "http://w.example.com/t%25x"),
+    ("w.example.com", "http://w.example.com/tx"),
+    ("v.example.com", "http://v.example.com/anything"),  # no rules: allowed
+]
+
+
 def q_s_robots_parse(spark, sf):
     """Crawl DISCOVERY parsing, kind-tagged (extended r5): 'rule' rows are
     the original robots.txt parse (posexplode + User-agent group
@@ -515,7 +547,31 @@ def q_s_robots_parse(spark, sf):
         (~F.col("is_trap")).alias("allow"),
         F.col("n_urls").cast("string").alias("lastmod"),
     )
-    return rules.unionByName(refs).unionByName(sm).unionByName(uf).unionByName(traps)
+    # 'wildmatch' rows (r6): RFC 9309 wildcard-rule matching decisions
+    # (frontier.robots_decisions — '*'/trailing-'$' rules as precompiled
+    # LIKE patterns, longest matching rule wins, allow on ties) over the
+    # planted WILDMATCH fixture; item = url, allow = verdict.
+    from jobscrawler_spark.operators.frontier import robots_decisions
+
+    wm = robots_decisions(
+        spark.createDataFrame(WILDMATCH_URLS, "host string, url string"),
+        spark.createDataFrame(
+            WILDMATCH_RULES, "host string, path_prefix string, allow boolean"
+        ),
+    ).select(
+        "host",
+        F.lit("wildmatch").alias("kind"),
+        F.col("url").alias("item"),
+        "allow",
+        null_s.alias("lastmod"),
+    )
+    return (
+        rules.unionByName(refs)
+        .unionByName(sm)
+        .unionByName(uf)
+        .unionByName(traps)
+        .unionByName(wm)
+    )
 
 
 def _robots_parse_oracle() -> str:
@@ -538,6 +594,10 @@ def _robots_parse_oracle() -> str:
     url_rows = ",\n".join(f"({q(r.url)})" for r in gen_filter_urls(128).itertuples())
     trap_rows = ",\n".join(f"({q(r.url)})" for r in gen_trap_urls().itertuples())
     trap_cap = TRAP_TEMPLATE_CAP
+    wild_rule_rows = ",\n".join(
+        f"({q(h)}, {q(p)}, {str(a).upper()})" for h, p, a in WILDMATCH_RULES
+    )
+    wild_url_rows = ",\n".join(f"({q(h)}, {q(u)})" for h, u in WILDMATCH_URLS)
     spam_pred = " OR ".join(f"contains(lower(url), {q(w)})" for w in SPAM_WORDS)
     bl = ", ".join(q(h) for h in BLOCKLIST_HOSTS)
     return rf"""
@@ -641,12 +701,50 @@ def _robots_parse_oracle() -> str:
           SELECT host, 'trap' AS kind, template AS item,
                  NOT (count(DISTINCT url) > {trap_cap}) AS allow,
                  CAST(count(DISTINCT url) AS VARCHAR) AS lastmod
-          FROM trapt GROUP BY host, template)
+          FROM trapt GROUP BY host, template),
+        -- r6 RFC 9309 wildcard matching: the LIKE-pattern construction is
+        -- repeated verbatim ('*' -> '%', trailing '$' anchors, LIKE
+        -- metachars escaped); longest matching rule wins, allow on ties
+        wrules0(host, prefix, allow) AS (VALUES {wild_rule_rows}),
+        wrules AS (
+          SELECT host, prefix, allow, length(prefix) AS len,
+                 CASE WHEN ends_with(prefix, '$')
+                      THEN replace(replace(replace(replace(
+                             left(prefix, length(prefix) - 1),
+                             '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+                      ELSE replace(replace(replace(replace(prefix,
+                             '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+                           || '%' END AS pat
+          FROM wrules0),
+        wurls(host, url) AS (VALUES {wild_url_rows}),
+        wpaths AS (
+          SELECT host, url,
+                 CASE WHEN regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+                 END AS path
+          FROM wurls),
+        wmatch AS (
+          SELECT u.url, r.allow,
+                 row_number() OVER (PARTITION BY u.url
+                   ORDER BY r.len DESC, r.prefix DESC, r.allow DESC) AS rn
+          FROM wpaths u
+          JOIN wrules r ON u.host = r.host AND u.path LIKE r.pat ESCAPE '\'),
+        wrows AS (
+          SELECT u.host, 'wildmatch' AS kind, u.url AS item,
+                 coalesce(m.allow, TRUE) AS allow,
+                 CAST(NULL AS VARCHAR) AS lastmod
+          FROM wurls u
+          LEFT JOIN (SELECT url, allow FROM wmatch WHERE rn = 1) m
+            ON m.url = u.url)
         SELECT * FROM rules
         UNION ALL SELECT * FROM refs
         UNION ALL SELECT * FROM smrows
         UNION ALL SELECT * FROM ufrows
         UNION ALL SELECT * FROM traprows
+        UNION ALL SELECT * FROM wrows
     """
 
 

@@ -109,12 +109,18 @@ def gen_politeness(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def gen_robots(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
-    """Robots rules with conflicting prefixes (longest match wins)."""
+def gen_robots(n_hosts: int = 64, seed: int = 42, wildcards: bool = False) -> pd.DataFrame:
+    """Robots rules with conflicting prefixes (longest match wins).
+
+    ``wildcards=True`` (r6) mixes in RFC 9309 wildcard rules that BITE on
+    the crawl's real URL shapes (seeds /p/<id>, outlinks
+    /d<depth>/<hex16>/<j>): an anchored mid-star disallow, an unanchored
+    mid-star disallow over the seed space, and a wildcard allow that
+    out-lengths a plain disallow (precedence across rule kinds)."""
     rng = _rng(seed + 2)
     hosts = gen_hosts(n_hosts)
     rows = []
-    for host in hosts:
+    for hi, host in enumerate(hosts):
         rows.append({"host": host, "path_prefix": "/", "allow": True})
         if rng.random() < 0.5:
             rows.append({"host": host, "path_prefix": "/private", "allow": False})
@@ -122,11 +128,25 @@ def gen_robots(n_hosts: int = 64, seed: int = 42) -> pd.DataFrame:
         if rng.random() < 0.3:
             # disallow a slice of the /p/ space
             rows.append({"host": host, "path_prefix": "/p/1", "allow": False})
+        if wildcards:
+            if hi % 3 == 0:
+                # depth-1 outlinks with child index 2, anchored
+                rows.append({"host": host, "path_prefix": "/d1/*/2$", "allow": False})
+            if hi % 4 == 1:
+                # any seed path containing a 7 after /p/
+                rows.append({"host": host, "path_prefix": "/p/*7", "allow": False})
+            if hi % 5 == 2:
+                # wildcard ALLOW must out-rank the shorter plain disallow
+                rows.append({"host": host, "path_prefix": "/d2", "allow": False})
+                rows.append({"host": host, "path_prefix": "/d2/*", "allow": True})
     return pd.DataFrame(rows)
 
 
 def gen_robots_bodies(
-    n_hosts: int = 64, seed: int = 42, politeness: pd.DataFrame | None = None
+    n_hosts: int = 64,
+    seed: int = 42,
+    politeness: pd.DataFrame | None = None,
+    wildcards: bool = False,
 ) -> pd.DataFrame:
     """robots.txt TEXT bodies whose parse equals gen_robots(n_hosts, seed):
     the fetch-stage form of the robots dim (one /robots.txt body per host),
@@ -134,7 +154,7 @@ def gen_robots_bodies(
     that a correct parser must ignore. Passing ``politeness`` adds the
     hosts' crawl_delay_rounds as Crawl-delay directives in the '*' group
     (plus a decoy delay in the badbot group)."""
-    rules = gen_robots(n_hosts, seed)
+    rules = gen_robots(n_hosts, seed, wildcards=wildcards)
     delays = (
         dict(zip(politeness["host"], politeness["crawl_delay_rounds"]))
         if politeness is not None

@@ -54,39 +54,96 @@ def fetch_salt_buckets(n_partitions: int) -> int:
     return max(SALT_BUCKETS, 16 * n_partitions)
 
 
+def robots_like_pattern(p) -> "F.Column":
+    """Robots path pattern -> SQL LIKE pattern (RFC 9309 wildcards).
+
+    ``*`` matches any character sequence; a TRAILING ``$`` anchors the
+    match at the end of the path (a mid-pattern ``$`` is literal, per the
+    RFC). LIKE metacharacters in the rule (%, _, \\) are escaped so they
+    stay literal. Computed once per RULE in the grouped dim (dimension-
+    sized, map-side), never per candidate row.
+    """
+    anchored = F.endswith(p, F.lit("$"))
+    core = F.when(anchored, F.substr(p, F.lit(1), F.length(p) - F.lit(1))).otherwise(p)
+    esc = F.replace(core, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+
+
 def group_robots(robots: DataFrame) -> DataFrame:
     """Pre-aggregate robots rules to one array row per host (cacheable —
-    the engine reuses it across rounds instead of re-grouping the dim)."""
+    the engine reuses it across rounds instead of re-grouping the dim).
+
+    Each rule struct carries its precompiled wildcard form: ``plain``
+    rules (no ``*``/trailing ``$`` — the overwhelmingly common case) keep
+    the startswith fast path; wildcard rules get a LIKE pattern. The
+    struct is ordered (len, prefix, allow, ...) so array_max still picks
+    the LONGEST matching rule — RFC 9309 precedence, with allow winning
+    exact ties (true > false)."""
     return robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
                 F.length("path_prefix").alias("len"),
                 F.col("path_prefix").alias("prefix"),
                 F.col("allow").alias("allow"),
+                (
+                    ~(
+                        F.col("path_prefix").contains("*")
+                        | F.endswith(F.col("path_prefix"), F.lit("$"))
+                    )
+                ).alias("plain"),
+                robots_like_pattern(F.col("path_prefix")).alias("pat"),
             )
         ).alias("rules")
     )
 
 
-def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose path matches a disallow rule (longest prefix wins).
-
-    URLs with no matching rule are allowed. ``robots`` is the small dim
-    (host, path_prefix, allow) — broadcast; pass a pre-grouped dim (from
-    group_robots) to skip the per-call aggregation.
-    """
+def _robots_best_rule(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Attach the winning robots rule per candidate as ``__best`` (null =
+    no rule matched = allowed). Shared by robots_gate / robots_decisions."""
     rules_by_host = robots if "rules" in robots.columns else group_robots(robots)
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     with_rules = candidates.join(F.broadcast(rules_by_host), "host", "left")
     applicable = F.filter(
         F.coalesce(F.col("rules"), F.array()),
-        lambda r: F.startswith(path, r["prefix"]),
+        lambda r: F.when(r["plain"], F.startswith(path, r["prefix"])).otherwise(
+            F.like(path, r["pat"], F.lit("\\"))
+        ),
     )
-    best = F.array_max(applicable)  # struct order: longest prefix first
+    # struct order: longest matching rule first (len, then prefix, then allow)
+    return with_rules.withColumn("__best", F.array_max(applicable))
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose path matches a disallow rule (longest match
+    wins; RFC 9309 wildcards supported — see robots_like_pattern).
+
+    URLs with no matching rule are allowed. ``robots`` is the small dim
+    (host, path_prefix, allow) — broadcast; pass a pre-grouped dim (from
+    group_robots) to skip the per-call aggregation.
+    """
     return (
-        with_rules.withColumn("__allow", F.coalesce(best["allow"], F.lit(True)))
+        _robots_best_rule(candidates, robots)
+        .withColumn("__allow", F.coalesce(F.col("__best")["allow"], F.lit(True)))
         .filter(F.col("__allow"))
-        .drop("rules", "__allow")
+        .drop("rules", "__best", "__allow")
+    )
+
+
+def robots_decisions(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """The robots MATCHING DECISION itself, for auditing/gating: one row
+    per candidate with the verdict and the winning rule (null rule = no
+    match = allowed). robots_gate == filter(allow) over this."""
+    return (
+        _robots_best_rule(candidates, robots)
+        .select(
+            "host",
+            "url",
+            F.coalesce(F.col("__best")["allow"], F.lit(True)).alias("allow"),
+            F.col("__best")["prefix"].alias("rule"),
+        )
     )
 
 

@@ -23,7 +23,9 @@ bug, not a data bug.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from urllib.parse import urlsplit
 
 import pandas as pd
@@ -31,6 +33,24 @@ import pandas as pd
 from .. import fetch_model as FM
 from ..functions.urls import canonicalize_py, host_py
 from ..functions.xxhash import spark_xxhash64_str
+
+
+@lru_cache(maxsize=4096)
+def _robots_regex(pattern: str) -> "re.Pattern[str]":
+    """Python port of frontier.robots_like_pattern's LIKE semantics:
+    '*' -> any sequence, trailing '$' anchors, everything else literal."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in core.split("*"))
+    return re.compile("^" + rx + (r"\Z" if anchored else ""))
+
+
+def robots_match_py(path: str, pattern: str) -> bool:
+    """Wildcard-aware robots rule match — MUST mirror the engine's
+    plain-startswith fast path / LIKE slow path split exactly."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    return _robots_regex(pattern).match(path) is not None
 
 
 @dataclass
@@ -90,7 +110,7 @@ class OracleCrawler:
         if not rules:
             return True
         path = urlsplit(url).path or "/"  # parse_url(url,'PATH') equivalent
-        applicable = [r for r in rules if path.startswith(r[1])]
+        applicable = [r for r in rules if robots_match_py(path, r[1])]
         if not applicable:
             return True
         return max(applicable)[2]  # (len, prefix, allow) — same as array_max
