@@ -2877,12 +2877,41 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
+    # 'audio_seg' rows (r6): energy-based voice-activity segmentation
+    # (multimodal.segment_audio — integer squared-sum contract, seg_id
+    # counts activity flips) over the planted loud/silent-span fixture;
+    # oracle = per-sample pure-Python recompute (expected.audio_seg_rows).
+    from jobscrawler_spark.generators import gen_vad_audio
+    from jobscrawler_spark.operators.multimodal import segment_audio
+
+    vad = spark.createDataFrame(
+        gen_vad_audio(12), "audio_id string, bytes binary, fmt string"
+    )
+    seg = segment_audio(vad).select(
+        F.lit("audio_seg").alias("kind"),
+        F.col("audio_id").alias("media_id"),
+        F.col("frame_no").alias("idx"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit("pcm16").alias("fmt"),
+        F.col("seg_id").cast("double").alias("metric"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "seg_id",
+                F.when(F.col("active"), F.lit(1)).otherwise(F.lit(0)),
+                "energy_sum",
+                "n",
+            )
+        ).alias("fingerprint"),
+    )
     out = (
         img.unionByName(vid)
         .unionByName(aud)
         .unionByName(sc)
         .unionByName(dup)
         .unionByName(wm)
+        .unionByName(seg)
     )
     return spark.createDataFrame(out.collect(), out.schema)
 

@@ -493,6 +493,39 @@ def gen_audio(n: int = 48, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def vad_audio_samples(i: int, seed: int = 42) -> "np.ndarray":
+    """Deterministic speech-shaped waveform for clip ``i``: 4-6 alternating
+    LOUD (synth_audio, sinusoid amps 1000-8000) and NEAR-SILENT (same
+    waveform >> 8) spans of 500-1999 samples — planted segment boundaries
+    for the VAD operator. Shared INPUT construction for the Spark operator
+    and the oracle recompute (like scene_video_frames); the energy
+    computation itself stays independent on each side."""
+    d = url_digest(f"vad:{seed}:{i}")
+    segs = []
+    n_seg = 4 + d % 3
+    for s in range(n_seg):
+        length = 500 + ((d >> (4 * s)) % 1500)
+        seg = codecs.synth_audio(d ^ (s + 1), int(length))
+        if (s + i) % 2 == 1:  # near-silence: amplitude cut ~256x
+            seg = (seg.astype(np.int32) // 256).astype(np.int16)
+        segs.append(seg)
+    return np.concatenate(segs)
+
+
+def gen_vad_audio(n: int = 12, seed: int = 42) -> pd.DataFrame:
+    """(audio_id, bytes, fmt) clips with planted active/silence spans."""
+    return pd.DataFrame(
+        [
+            {
+                "audio_id": f"va{i:04d}",
+                "bytes": codecs.encode_pcm16(vad_audio_samples(i, seed)),
+                "fmt": "pcm16",
+            }
+            for i in range(n)
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-shaped fixtures: site configs, canned payloads, world locations
 # ---------------------------------------------------------------------------

@@ -651,6 +651,42 @@ def multimodal_rows() -> list[tuple]:
     rows += scene_cut_rows()
     rows += scene_dup_rows()
     rows += watermark_rows()
+    rows += audio_seg_rows()
+    return rows
+
+
+def audio_seg_rows(
+    n: int = 12, seed: int = 42, frame_len: int = 400, threshold: int = 100_000
+) -> list[tuple]:
+    """Fresh sequential recompute of segment_audio over the planted VAD
+    fixture, in the merged multimodal gate shape: per-sample pure-Python
+    squared sums (the operator uses vectorized int64 — integers are exact
+    so arithmetic order must agree), metric = seg_id, fingerprint =
+    md5(seg|active|energy_sum|n). Waveform construction is shared input
+    (generators.vad_audio_samples); the computation is independent."""
+    from ..generators import vad_audio_samples
+
+    rows: list[tuple] = []
+    for i in range(n):
+        samples = vad_audio_samples(i, seed)
+        prev: bool | None = None
+        seg = -1
+        for fno, start in enumerate(range(0, len(samples), frame_len)):
+            fr = samples[start : start + frame_len]
+            e = 0
+            for s in fr:
+                v = int(s)
+                e += v * v
+            act = e > threshold * len(fr)
+            if prev is None or act != prev:
+                seg += 1
+            fp = hashlib.md5(
+                f"{seg}|{1 if act else 0}|{e}|{len(fr)}".encode()
+            ).hexdigest()
+            rows.append(
+                ("audio_seg", f"va{i:04d}", fno, None, None, "pcm16", float(seg), fp)
+            )
+            prev = act
     return rows
 
 

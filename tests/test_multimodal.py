@@ -299,3 +299,71 @@ def test_watermark_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, detect_watermarks(imgs).collect()))
     b = sorted(map(tuple, detect_watermarks(imgs.repartition(7)).collect()))
     assert a == b
+
+
+def test_audio_segments_recover_planted_spans(spark):
+    """Every planted loud span must map onto active frames and every
+    silent span onto inactive frames (frames fully inside a span; the
+    boundary frame may mix), and seg_id must increase by exactly 1 at
+    every activity flip."""
+    from jobscrawler_spark.generators import gen_vad_audio, vad_audio_samples
+    from jobscrawler_spark.operators.multimodal import segment_audio
+    from jobscrawler_spark.fetch_model import url_digest
+
+    df = spark.createDataFrame(gen_vad_audio(6), "audio_id string, bytes binary, fmt string")
+    rows = segment_audio(df).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["audio_id"], []).append(r)
+
+    for i in range(6):
+        clip = sorted(by_clip[f"va{i:04d}"], key=lambda r: r["frame_no"])
+        # rebuild the planted span layout from the shared constructor
+        d = url_digest(f"vad:42:{i}")
+        spans, pos = [], 0
+        for s in range(4 + d % 3):
+            length = 500 + ((d >> (4 * s)) % 1500)
+            spans.append((pos, pos + length, (s + i) % 2 == 0))
+            pos += length
+        for r in clip:
+            start, end = r["frame_no"] * 400, r["frame_no"] * 400 + r["n"]
+            inside = [a for (lo, hi, a) in spans if lo <= start and end <= hi]
+            if inside:  # frame fully within one planted span
+                assert r["active"] == inside[0], (i, r["frame_no"])
+        # seg_id counts flips
+        seg, prev = -1, None
+        for r in clip:
+            if prev is None or r["active"] != prev:
+                seg += 1
+            assert r["seg_id"] == seg
+            prev = r["active"]
+        assert clip[-1]["seg_id"] >= 3  # several alternations per clip
+        # total samples conserved
+        assert sum(r["n"] for r in clip) == len(vad_audio_samples(i))
+
+
+def test_audio_segments_deterministic_across_partitionings(spark):
+    from jobscrawler_spark.generators import gen_vad_audio
+    from jobscrawler_spark.operators.multimodal import segment_audio
+
+    df = spark.createDataFrame(gen_vad_audio(8), "audio_id string, bytes binary, fmt string")
+    one = sorted(map(tuple, segment_audio(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, segment_audio(df.repartition(7)).collect()))
+    assert one == many
+
+
+def test_audio_segments_match_python_recompute(spark):
+    from jobscrawler_spark.generators import gen_vad_audio
+    from jobscrawler_spark.operators.multimodal import segment_audio
+    from jobscrawler_spark.oracle.expected import audio_seg_rows
+    import hashlib
+
+    df = spark.createDataFrame(gen_vad_audio(4), "audio_id string, bytes binary, fmt string")
+    got = {
+        (r["audio_id"], r["frame_no"]): hashlib.md5(
+            f"{r['seg_id']}|{1 if r['active'] else 0}|{r['energy_sum']}|{r['n']}".encode()
+        ).hexdigest()
+        for r in segment_audio(df).collect()
+    }
+    want = {(m, idx): fp for (_, m, idx, _, _, _, _, fp) in audio_seg_rows(4)}
+    assert got == want
