@@ -1317,6 +1317,16 @@ def _e2e_fixture_oracles() -> dict[str, str]:
         f"({_sql_str(r.image_id)}, {int(r.w)}, {int(r.h)})"
         for r in gen_curation_images(160)[["image_id", "w", "h"]].itertuples()
     )
+    from jobscrawler_spark.operators.corpus import (
+        CDC_BASE,
+        CDC_MOD,
+        CDC_THRESHOLD,
+        CDC_WINDOW,
+    )
+
+    cdc_hash = " + ".join(
+        f"cs[i - {j}] * {pow(CDC_BASE, j, CDC_MOD)}" for j in range(CDC_WINDOW)
+    )
     out["pack_sequences"] = f"""
         WITH t AS (
           SELECT source, doc_id,
@@ -1395,9 +1405,44 @@ def _e2e_fixture_oracles() -> dict[str, str]:
                  CAST(greatest(least(64, n - i*48), 0) AS INT) AS n_units,
                  CAST(i AS BIGINT) AS bin_id,
                  CAST(i * 48 AS INT) AS bin_offset
-          FROM chx)
+          FROM chx),
+        -- cdc (r6): Rabin rolling-hash content-defined boundaries; the
+        -- polynomial-hash contract repeated verbatim (window {CDC_WINDOW},
+        -- prime mod {CDC_MOD}, threshold {CDC_THRESHOLD})
+        cdcc AS (
+          SELECT source, doc_id, text, length(text) AS n,
+                 CASE WHEN length(text) > 0 THEN
+                   list_transform(generate_series(1, length(text)),
+                                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))
+                 ELSE [] END AS cs
+          FROM documents WHERE doc_id < 150),
+        cdcb AS (
+          SELECT source, doc_id, text, n,
+                 CASE WHEN n - 1 >= {CDC_WINDOW} THEN
+                   list_filter(generate_series({CDC_WINDOW}, n - 1),
+                               i -> ({cdc_hash}) % {CDC_MOD} < {CDC_THRESHOLD})
+                 ELSE [] END AS bp
+          FROM cdcc),
+        cdcs AS (
+          SELECT source, doc_id, text,
+                 list_prepend(0, bp) AS starts, list_append(bp, n) AS ends
+          FROM cdcb),
+        cdcx AS (
+          SELECT source, doc_id, text, starts, ends,
+                 unnest(generate_series(1, len(starts))) AS k
+          FROM cdcs),
+        cdc AS (
+          SELECT 'cdc' AS kind, source AS grp,
+                 CAST(doc_id AS VARCHAR) || '|' || CAST(k - 1 AS VARCHAR) || '|'
+                   || md5(substr(text, starts[k] + 1, ends[k] - starts[k]))
+                   AS item_id,
+                 CAST(ends[k] - starts[k] AS INT) AS n_units,
+                 CAST(k - 1 AS BIGINT) AS bin_id,
+                 CAST(starts[k] AS INT) AS bin_offset
+          FROM cdcx)
         SELECT * FROM txt UNION ALL SELECT * FROM img
         UNION ALL SELECT * FROM man UNION ALL SELECT * FROM ch
+        UNION ALL SELECT * FROM cdc
     """
     out["image_curation"] = values(
         [
@@ -2629,7 +2674,28 @@ def q_pack_sequences(spark, sf):
         "bin_id",
         "bin_offset",
     )
-    return text.unionByName(image).unionByName(man).unionByName(chunks)
+    # 'cdc' (r6): CONTENT-DEFINED chunking (corpus.cdc_chunks — Rabin
+    # rolling-hash boundaries, window 8 / prime mod / ~1/64 rate): chunk
+    # boundaries resync after insertions so unchanged tails keep
+    # identical md5s; item_id pins the sliced CONTENT like 'chunks'
+    from jobscrawler_spark.operators.corpus import cdc_chunks
+
+    cdc = cdc_chunks(_t(spark, sf, "documents").filter(F.col("doc_id") < 150)).select(
+        F.lit("cdc").alias("kind"),
+        F.col("source").alias("grp"),
+        F.concat_ws("|", F.col("doc_id"), F.col("chunk_no"), F.col("chunk_md5")).alias(
+            "item_id"
+        ),
+        F.col("chunk_len").alias("n_units"),
+        F.col("chunk_no").cast("bigint").alias("bin_id"),
+        F.col("start").alias("bin_offset"),
+    )
+    return (
+        text.unionByName(image)
+        .unionByName(man)
+        .unionByName(chunks)
+        .unionByName(cdc)
+    )
 
 
 def q_corpus_mix(spark, sf):

@@ -509,6 +509,87 @@ def chunk_documents(
     )
 
 
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_MOD = 1_048_573  # prime < 2^20: the mod mixes all hash bits
+CDC_THRESHOLD = 16_383  # ~ MOD/64 -> ~1/64 boundary rate -> ~64-char chunks
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    window: int = CDC_WINDOW,
+    base: int = CDC_BASE,
+    mod: int = CDC_MOD,
+    threshold: int = CDC_THRESHOLD,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (Rabin/LBFS rolling-hash boundaries) —
+    the dedup-friendly complement to fixed-window chunk_documents: an
+    insertion near the top of a page shifts every fixed-window chunk, but
+    content-defined boundaries RESYNC, so the unchanged tail chunks keep
+    identical hashes and an exact md5-groupBy dedup still collapses them
+    (rsync / LBFS / FastCDC's core idea, re-expressed for corpus dedup).
+
+    Contract (integer-exact, repeated verbatim by the DuckDB oracle):
+    a boundary falls AFTER 1-based char position ``i`` (window <= i < n)
+    iff ``(sum_{j=0..window-1} code(char[i-j]) * base^j) mod mod <
+    threshold`` — a polynomial hash of the trailing ``window`` chars
+    against a prime modulus (max term sum ~8 * 0x10FFFF * 31^7 << 2^63,
+    exact int64). Chunks are the slices between consecutive boundaries;
+    a doc shorter than ``window`` is one chunk. No min/max chunk bounds:
+    bounds would make each boundary depend on the previous one
+    (sequential state); the stateless form keeps every position's
+    decision independent — shift-resistant AND embarrassingly parallel.
+
+    Output: (group, id, chunk_no, start, chunk_len, chunk_md5,
+    chunk_text). Pure map-side — codes/boundaries/slices are per-row
+    array expressions, ZERO shuffles; the downstream dedup is one
+    uniform md5 groupBy.
+    """
+    powers = [pow(base, j, mod) for j in range(window)]
+    n = F.length(F.col(text_col))
+    codes = F.transform(
+        F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>")),
+        lambda i: F.ascii(F.substr(F.col(text_col), i, F.lit(1))).cast("long"),
+    )
+    d = docs.select(
+        F.col(group_col), F.col(id_col), F.col(text_col).alias("__txt"),
+        n.alias("__n"), codes.alias("__c"),
+    )
+
+    def is_boundary(i):
+        h = F.lit(0).cast("long")
+        for j, p in enumerate(powers):
+            h = h + F.element_at(F.col("__c"), i - F.lit(j)) * F.lit(p)
+        return (h % F.lit(mod)) < F.lit(threshold)
+
+    bpos = F.filter(
+        F.when(
+            F.col("__n") - 1 >= window,
+            F.sequence(F.lit(window), F.col("__n") - 1),
+        ).otherwise(F.array().cast("array<int>")),
+        is_boundary,
+    )
+    d = d.withColumn(
+        "__starts", F.concat(F.array(F.lit(0)), bpos)
+    ).withColumn("__ends", F.concat(bpos, F.array(F.col("__n"))))
+    k = F.explode(F.sequence(F.lit(0), F.size("__starts") - 1)).alias("chunk_no")
+    start = F.element_at("__starts", F.col("chunk_no") + 1)
+    end = F.element_at("__ends", F.col("chunk_no") + 1)
+    chunk = F.substr("__txt", start + F.lit(1), end - start)
+    return d.select(group_col, id_col, k, "__txt", "__starts", "__ends").select(
+        group_col,
+        id_col,
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        start.cast("int").alias("start"),
+        (end - start).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+        chunk.alias("chunk_text"),
+    )
+
+
 TFIDF_BUCKETS = 1024
 TFIDF_SCALE = 1000
 

@@ -677,3 +677,92 @@ def test_incremental_decontaminate_two_bench_batches_union(spark):
         key=lambda t: (t[1], t[0]),
     )
     assert sorted(got, key=lambda t: (t[1], t[0])) == want
+
+
+def test_cdc_chunks_cover_text_exactly(spark):
+    """Chunks tile the document: concatenation reconstructs the text,
+    offsets/lengths are consistent, every doc appears."""
+    from jobscrawler_spark.operators.corpus import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [("s", 0, "the quick brown fox jumps over the lazy dog " * 8),
+         ("s", 1, "short"),          # shorter than the window: one chunk
+         ("s", 2, "")],              # empty doc: one empty chunk
+        "source string, doc_id int, text string",
+    )
+    rows = sorted(
+        cdc_chunks(docs).collect(), key=lambda r: (r["doc_id"], r["chunk_no"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {0: "the quick brown fox jumps over the lazy dog " * 8, 1: "short", 2: ""}
+    for doc_id, chunks in by_doc.items():
+        joined = "".join(c["chunk_text"] for c in chunks)
+        assert joined == texts[doc_id]
+        pos = 0
+        for c in chunks:
+            assert c["start"] == pos and c["chunk_len"] == len(c["chunk_text"])
+            pos += c["chunk_len"]
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_len"] == 0
+    assert len(by_doc[0]) > 1  # long repetitive doc actually splits
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """THE content-defined property: prepending junk must leave every
+    chunk after the first resynced boundary byte-identical (fixed-window
+    chunking would shift them all)."""
+    from jobscrawler_spark.operators.corpus import cdc_chunks
+
+    base_text = " ".join(f"w{i}tok{(i * 7) % 13}" for i in range(120))
+    docs = spark.createDataFrame(
+        [("s", 0, base_text), ("s", 1, "INSERTED JUNK PREFIX " + base_text)],
+        "source string, doc_id int, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    a = [r["chunk_md5"] for r in sorted(rows, key=lambda r: r["chunk_no"]) if r["doc_id"] == 0]
+    b = [r["chunk_md5"] for r in sorted(rows, key=lambda r: r["chunk_no"]) if r["doc_id"] == 1]
+    assert len(a) >= 3
+    # every chunk after the first resynced boundary is byte-identical:
+    # the two chunk lists share their entire suffix except the head
+    common = 0
+    while common < min(len(a), len(b)) and a[-1 - common] == b[-1 - common]:
+        common += 1
+    assert common >= len(a) - 1
+
+
+def test_cdc_chunks_deterministic_across_partitionings(spark):
+    from jobscrawler_spark.operators.corpus import cdc_chunks
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    one = sorted(map(tuple, cdc_chunks(d.coalesce(1)).collect()))
+    many = sorted(map(tuple, cdc_chunks(d.repartition(9)).collect()))
+    assert one == many
+
+
+def test_cdc_chunks_match_python_recompute(spark):
+    """Independent pure-Python port of the boundary contract."""
+    from jobscrawler_spark.operators.corpus import (
+        CDC_BASE, CDC_MOD, CDC_THRESHOLD, CDC_WINDOW, cdc_chunks,
+    )
+    import hashlib
+
+    text = "some deterministic text with enough characters to chunk " * 6
+    docs = spark.createDataFrame([("s", 0, text)], "source string, doc_id int, text string")
+    got = [
+        (r["chunk_no"], r["start"], r["chunk_len"], r["chunk_md5"])
+        for r in sorted(cdc_chunks(docs).collect(), key=lambda r: r["chunk_no"])
+    ]
+    powers = [pow(CDC_BASE, j, CDC_MOD) for j in range(CDC_WINDOW)]
+    bounds = [
+        i for i in range(CDC_WINDOW, len(text))
+        if sum(ord(text[i - 1 - j]) * powers[j] for j in range(CDC_WINDOW)) % CDC_MOD
+        < CDC_THRESHOLD
+    ]
+    starts, ends = [0] + bounds, bounds + [len(text)]
+    want = [
+        (k, s, e - s, hashlib.md5(text[s:e].encode()).hexdigest())
+        for k, (s, e) in enumerate(zip(starts, ends))
+    ]
+    assert got == want
