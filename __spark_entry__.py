@@ -1124,6 +1124,12 @@ def _graph_oracle(sf_dir: str) -> str:
             SELECT 'pagerank' AS kind, CAST(node AS BIGINT) AS node,
                    CAST(rank AS VARCHAR) AS val
             FROM pr
+            UNION ALL
+            -- incremental ingest (labels-as-star-edges) == one-shot CC:
+            -- star edges preserve connectivity AND the min member label
+            SELECT 'incremental' AS kind, CAST(node AS BIGINT) AS node,
+                   CAST(min(label) AS VARCHAR) AS val
+            FROM comp GROUP BY node
         """
 
 
@@ -2061,7 +2067,22 @@ def q_graph_components(spark, sf):
         "node",
         F.col("rank").cast("string").alias("val"),
     )
-    return comp.unionByName(pr)
+    # 'incremental' (r6): components.incremental_components — the edges
+    # arrive as two batches (deterministic (src+dst)%2 split); batch 1 is
+    # clustered one-shot, batch 2 folds into batch 1's LABELS (star
+    # edges), never re-reading batch 1's edges. The oracle states the
+    # star-equivalence invariant: incremental == one-shot over ALL edges.
+    from jobscrawler_spark.operators.components import incremental_components
+
+    edges = edges.localCheckpoint()
+    b1 = edges.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == 0)
+    b2 = edges.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == 1)
+    incr = incremental_components(b2, connected_components(b1)).select(
+        F.lit("incremental").alias("kind"),
+        "node",
+        F.col("component").cast("string").alias("val"),
+    )
+    return comp.unionByName(pr).unionByName(incr)
 
 
 def q_f_embed_prep(spark, sf):

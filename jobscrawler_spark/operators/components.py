@@ -86,6 +86,43 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def incremental_components(
+    new_edges: DataFrame,
+    old_labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """INCREMENTAL connected components — the continuous-ingest pattern
+    for the dedup graph (the CC sibling of incremental_minhash_pairs /
+    incremental_phash_pairs): fold a NEW batch of edges into existing
+    (node, component) labels WITHOUT re-running CC over the historical
+    edge set.
+
+    Correctness: a component's labels form a STAR (node -> component id,
+    and the id is the component's min member node), and a star is
+    connectivity-equivalent to the original edge set with the same min.
+    So CC(star(CC(E_old)) ∪ E_new) == CC(E_old ∪ E_new) exactly — the
+    oracle states that invariant, and batch-at-a-time ingest converges
+    to the one-shot labeling (pinned in tests/test_components.py).
+
+    Cost per update: O(|labels| + |new edges|) rows instead of
+    O(|all historical edges|), and the pointer-doubling rounds are
+    O(log of the NEW merge diameter) — old components are already
+    diameter-1 stars, so a quiet batch converges in one round. At 10^10
+    images the label table is the persistable state (a SnapshotTable
+    like the band stores); daily dedup re-clustering touches yesterday's
+    labels + today's pairs, never the cumulative pair history.
+    """
+    star = old_labels.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    return connected_components(
+        star.unionByName(new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))),
+        max_iter=max_iter,
+    )
+
+
 def label_clusters(
     items: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "id_a", b_col: str = "id_b"
 ) -> DataFrame:

@@ -175,3 +175,50 @@ def test_pagerank_dangling_mass_redistributes(spark):
     got = _pr(spark, edges, iters=5)
     assert got == _py_pagerank(edges, iters=5)
     assert got[0] > 0 and got[1] > got[0]
+
+
+def test_incremental_components_converge_to_one_shot(spark):
+    """Batch-at-a-time ingest through labels-as-star-edges equals the
+    one-shot clustering over the full edge set — including a batch that
+    MERGES two previously separate components and a batch introducing
+    brand-new nodes."""
+    from jobscrawler_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    b1 = [(1, 2), (2, 3), (10, 11)]          # two components
+    b2 = [(3, 10)]                           # merges them
+    b3 = [(20, 21), (21, 22), (22, 1)]       # new nodes, chains into comp 1
+    all_edges = b1 + b2 + b3
+
+    def df(pairs):
+        return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(df(all_edges)).collect()
+    }
+    labels = connected_components(df(b1))
+    for batch in (b2, b3):
+        labels = incremental_components(df(batch), labels)
+    got = {(r["node"], r["component"]) for r in labels.collect()}
+    assert got == want
+    # every node of every batch is labeled, min-id survivor semantics hold
+    assert (1, 1) in got and (22, 1) in got and (10, 1) in got
+
+
+def test_incremental_components_quiet_batch_is_stable(spark):
+    """A batch whose edges are already within one component must leave
+    the labeling unchanged (star edges alone re-derive it)."""
+    from jobscrawler_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame([(5, 6), (6, 7)], "src bigint, dst bigint")
+    labels = connected_components(base)
+    again = incremental_components(
+        spark.createDataFrame([(5, 7)], "src bigint, dst bigint"), labels
+    )
+    assert sorted(map(tuple, labels.collect())) == sorted(map(tuple, again.collect()))
