@@ -677,3 +677,52 @@ class CrawlEngine:
         else:
             store.append(nb, meta={"upto_round": upto})
         return pairs
+
+    def incremental_image_clusters(
+        self, max_hamming: int = 7, compact_every: int = 8
+    ) -> DataFrame:
+        """Continuously-maintained dedup CLUSTER LABELS over the landed
+        table: incremental_image_dedup_report's pair stream folds into a
+        persisted (node=image_id, component) label SnapshotTable via
+        components.incremental_components (labels-as-star-edges), plus a
+        self-edge per newly landed image so singletons are labeled too.
+        The label table is O(images) and OVERWRITTEN per call (it IS the
+        compacted cluster state); the cumulative pair history is never
+        re-read, so day-N re-clustering costs O(labels + new pairs). At
+        every point the labeling equals the one-shot clustering over all
+        landed images (tests/test_incremental_dedup.py). This method OWNS
+        the report cadence — interleaving direct
+        incremental_image_dedup_report calls would consume pairs the
+        label fold never sees. Survives resume like the band store."""
+        from .operators.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        lstore = SnapshotTable(f"{self.base}/dedup_labels")
+        done = max(
+            (s["meta"].get("upto_round", -1) for s in lstore.snapshots()), default=-1
+        )
+        upto = self.next_round - 1
+        new_ids = (
+            self.images_df().filter(F.col("round") > done).select("image_id").distinct()
+        )
+        pairs = self.incremental_image_dedup_report(
+            max_hamming=max_hamming, compact_every=compact_every
+        )
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            new_ids.select(
+                F.col("image_id").alias("src"), F.col("image_id").alias("dst")
+            )
+        )
+        has_old = any(s.get("has_data") for s in lstore.snapshots())
+        if has_old:
+            labels = incremental_components(edges, lstore.read(self.spark))
+        else:
+            labels = connected_components(edges)
+        labels = labels.localCheckpoint()
+        sid = lstore.overwrite(labels, meta={"upto_round": upto})
+        lstore.expire_before(sid)
+        return labels

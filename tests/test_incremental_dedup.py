@@ -181,3 +181,50 @@ def test_engine_incremental_dedup_report(spark, tmp_path):
     assert on_disk == [store.snapshots()[0]["dir"]]
     assert eng.incremental_image_dedup_report(max_hamming=20, compact_every=8).count() == 0
     assert store.snapshots()[-1]["mode"] == "append"
+
+
+def test_engine_incremental_clusters_match_one_shot(spark, tmp_path):
+    """The persisted label store, folded forward per call with
+    incremental_components, must equal the one-shot cluster labeling over
+    ALL landed images at every checkpoint — and a drained call must leave
+    the labels unchanged."""
+    from jobscrawler_spark.engine import CrawlEngine
+    from jobscrawler_spark.generators import gen_politeness, gen_robots, gen_seeds
+    from jobscrawler_spark.operators.components import label_clusters
+    from jobscrawler_spark.operators.similarity import phash_near_dup_pairs
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "eng"), n_shards=4, default_budget=6, max_depth=1
+    )
+    eng.bootstrap(
+        gen_seeds(n=120, n_hosts=8, seed=11),
+        gen_politeness(8, seed=11),
+        gen_robots(8, seed=11),
+    )
+
+    def one_shot():
+        imgs = eng.images_df().select("image_id", "phash")
+        pairs = phash_near_dup_pairs(imgs, max_hamming=20)
+        return {
+            (r["image_id"], r["component"])
+            for r in label_clusters(imgs, pairs, "image_id", "id_a", "id_b").collect()
+        }
+
+    eng.run(2)
+    got1 = {(r["node"], r["component"])
+            for r in eng.incremental_image_clusters(max_hamming=20).collect()}
+    assert got1 == one_shot()
+    eng.run(1)
+    got2 = {(r["node"], r["component"])
+            for r in eng.incremental_image_clusters(max_hamming=20).collect()}
+    assert got2 == one_shot()
+    assert len(got2) > len(got1)  # new images labeled
+    # drained call: no new images/pairs, labels identical
+    got3 = {(r["node"], r["component"])
+            for r in eng.incremental_image_clusters(max_hamming=20).collect()}
+    assert got3 == got2
+    # resume: the label store persists beside the other snapshot tables
+    eng2 = CrawlEngine.resume(spark, eng.base)
+    got4 = {(r["node"], r["component"])
+            for r in eng2.incremental_image_clusters(max_hamming=20).collect()}
+    assert got4 == got2
