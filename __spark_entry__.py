@@ -3095,11 +3095,29 @@ def q_text_redact(spark, sf):
     )
 
 
+# shared boilerplate long enough to span several ~64-char CDC chunks, so
+# chunk boundaries resync inside it after each doc's distinct prefix
+CDC_BOILER = (
+    "the shared boilerplate disclaimer sentence that every third page "
+    "carries verbatim with enough characters to span multiple content "
+    "defined chunks and resynchronize cleanly after the per document "
+    "prefix so downstream chunk hashing collapses the copies"
+)
+
+
 def q_dedup_paragraphs(spark, sf):
-    """Cross-document paragraph dedup: the corpus has no organic shared
-    paragraphs, so boilerplate ones are planted (a footer on every doc, a
-    banner on even doc_ids — identically in the oracle) and the operator
-    reports the per-doc shared-paragraph fraction."""
+    """Cross-document SUB-DOCUMENT dedup stats, kind-tagged (r6 merge):
+    'para' rows are the r3 paragraph dedup — the corpus has no organic
+    shared paragraphs, so boilerplate ones are planted (a footer on every
+    doc, a banner on even doc_ids — identically in the oracle) and the
+    operator reports the per-doc shared-paragraph fraction. 'cdc' rows
+    (r6) are the SHIFT-RESISTANT sibling (dedupe.cdc_dup_stats over
+    content-defined chunks): the planted boilerplate rides INSIDE the
+    final paragraph behind a per-doc prefix (' doc<id> ' + CDC_BOILER on
+    doc_id % 3 == 0), so paragraph hashing can NEVER catch it — the whole
+    paragraph differs per doc — while CDC boundaries resync inside the
+    shared span and the chunk md5 groupBy counts it. Columns generalized
+    to (kind, doc_id, n_units, n_shared, shared_frac)."""
     d = _t(spark, sf, "documents")
     withboiler = d.select(
         "doc_id",
@@ -3111,7 +3129,32 @@ def q_dedup_paragraphs(spark, sf):
             ),
         ).alias("text"),
     )
-    return D.paragraph_dup_stats(withboiler)
+    para = D.paragraph_dup_stats(withboiler).select(
+        F.lit("para").alias("kind"),
+        "doc_id",
+        F.col("n_paras").alias("n_units"),
+        F.col("n_shared_paras").alias("n_shared"),
+        F.col("shared_para_frac").alias("shared_frac"),
+    )
+    shifted = d.filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" doc"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.pmod(F.col("doc_id"), 3) == 0, F.lit(" " + CDC_BOILER)
+            ).otherwise(F.lit(" organic tail")),
+        ).alias("text"),
+    )
+    cdc = D.cdc_dup_stats(shifted).select(
+        F.lit("cdc").alias("kind"),
+        "doc_id",
+        F.col("n_chunks").alias("n_units"),
+        F.col("n_shared_chunks").alias("n_shared"),
+        F.col("shared_chunk_frac").alias("shared_frac"),
+    )
+    return para.unionByName(cdc)
 
 
 # --- non-SQL-expressible (verified vs oracle simulator in pytest) -----------
@@ -3512,7 +3555,24 @@ def oracle_sql() -> dict[str, str]:
     return dict(_oracle_sql_built(_oracle_sf_dir()))
 
 
+def _cdc_sql_hash() -> tuple[str, int, int, int]:
+    """(hash-term SQL, window, mod, threshold) for the CDC boundary
+    contract — shared by the pack_sequences and dedup_paragraphs oracles."""
+    from jobscrawler_spark.operators.corpus import (
+        CDC_BASE,
+        CDC_MOD,
+        CDC_THRESHOLD,
+        CDC_WINDOW,
+    )
+
+    h = " + ".join(
+        f"cs[i - {j}] * {pow(CDC_BASE, j, CDC_MOD)}" for j in range(CDC_WINDOW)
+    )
+    return h, CDC_WINDOW, CDC_MOD, CDC_THRESHOLD
+
+
 def _oracle_sql_static() -> dict[str, str]:
+    _cdc_hash, _cdc_w, _cdc_mod, _cdc_thr = _cdc_sql_hash()
     return {
         "a1_groupby_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -4087,7 +4147,7 @@ def _oracle_sql_static() -> dict[str, str]:
                                       '[REDACTED]', 'g')) AS redacted_md5
             FROM er
         """,
-        "dedup_paragraphs": r"""
+        "dedup_paragraphs": rf"""
             WITH wb AS (
               SELECT doc_id,
                      text || chr(10) || chr(10) || 'Copyright 2024 Example Corp'
@@ -4105,14 +4165,59 @@ def _oracle_sql_static() -> dict[str, str]:
                     FROM wb)),
             counts AS (
               SELECT para_hash, count(DISTINCT doc_id) AS n_docs
-              FROM paras GROUP BY para_hash)
-            SELECT p.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_paras,
-                   CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paras,
-                   round(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-                     AS shared_para_frac
-            FROM paras p JOIN counts c USING (para_hash)
-            GROUP BY p.doc_id
+              FROM paras GROUP BY para_hash),
+            para AS (
+              SELECT 'para' AS kind, p.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_units,
+                     CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                     round(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                       AS shared_frac
+              FROM paras p JOIN counts c USING (para_hash)
+              GROUP BY p.doc_id),
+            -- cdc (r6): boilerplate INSIDE the paragraph behind a per-doc
+            -- prefix — content-defined chunk hashes resync and catch it
+            st AS (
+              SELECT doc_id,
+                     text || ' doc' || CAST(doc_id AS VARCHAR)
+                          || CASE WHEN doc_id % 3 = 0 THEN ' {CDC_BOILER}'
+                                  ELSE ' organic tail' END AS t
+              FROM documents WHERE doc_id < 150),
+            cdcc AS (
+              SELECT doc_id, t, length(t) AS n,
+                     list_transform(generate_series(1, length(t)),
+                                    i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)) AS cs
+              FROM st),
+            cdcb AS (
+              SELECT doc_id, t, n,
+                     CASE WHEN n - 1 >= {_cdc_w} THEN
+                       list_filter(generate_series({_cdc_w}, n - 1),
+                                   i -> ({_cdc_hash}) % {_cdc_mod} < {_cdc_thr})
+                     ELSE [] END AS bp
+              FROM cdcc),
+            cdcs AS (
+              SELECT doc_id, t, list_prepend(0, bp) AS starts,
+                     list_append(bp, n) AS ends
+              FROM cdcb),
+            cdcx AS (
+              SELECT doc_id, t, starts, ends,
+                     unnest(generate_series(1, len(starts))) AS k
+              FROM cdcs),
+            cchunks AS (
+              SELECT DISTINCT doc_id,
+                     md5(substr(t, starts[k] + 1, ends[k] - starts[k])) AS h
+              FROM cdcx),
+            ccounts AS (
+              SELECT h, count(DISTINCT doc_id) AS n_docs
+              FROM cchunks GROUP BY h),
+            cdc AS (
+              SELECT 'cdc' AS kind, c.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_units,
+                     CAST(sum(CASE WHEN cc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                     round(sum(CASE WHEN cc.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                       AS shared_frac
+              FROM cchunks c JOIN ccounts cc USING (h)
+              GROUP BY c.doc_id)
+            SELECT * FROM para UNION ALL SELECT * FROM cdc
         """,
         "text_repetition": r"""
             WITH base AS (

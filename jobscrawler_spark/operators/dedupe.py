@@ -105,6 +105,47 @@ def paragraph_dup_stats(
     )
 
 
+def cdc_dup_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc fraction of CONTENT-DEFINED chunks shared with >= 1 other
+    document — the shift-resistant sibling of paragraph_dup_stats:
+    paragraph hashing misses boilerplate that rides INSIDE a paragraph
+    behind per-document text (a personalized greeting before the same
+    disclaimer), because the whole paragraph hashes differently per doc.
+    CDC boundaries (corpus.cdc_chunks) resync inside the shared span, so
+    its chunks hash identically across docs and one uniform md5 groupBy
+    counts them — no pair enumeration, same scale shape as the paragraph
+    operator. Returns (id, n_chunks, n_shared_chunks, shared_chunk_frac).
+    """
+    from .corpus import cdc_chunks
+
+    ch = cdc_chunks(
+        docs.withColumn("__g", F.lit("")),
+        text_col=text_col,
+        id_col=id_col,
+        group_col="__g",
+    )
+    chunks = ch.select(id_col, "chunk_md5").distinct()
+    counts = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    return (
+        chunks.join(counts, "chunk_md5")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("__n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .withColumn(
+            "shared_chunk_frac",
+            F.round(F.col("n_shared_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
 def shingles_df(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word k-grams per doc."""
     toks = _tokens(F.col(text_col))

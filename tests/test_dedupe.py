@@ -555,3 +555,31 @@ def test_verify_candidate_pairs_is_candidate_bounded(spark):
     r_small = D.verify_candidate_pairs(small, pairs).collect()
     r_big = D.verify_candidate_pairs(big, pairs).collect()
     assert sorted(map(tuple, r_small)) == sorted(map(tuple, r_big))
+
+
+def test_cdc_dup_stats_catch_what_paragraph_dedup_misses(spark):
+    """Boilerplate riding INSIDE a paragraph behind per-doc text: the
+    whole paragraph hashes differently per doc (paragraph dedup reports
+    zero sharing), but content-defined chunk boundaries resync inside the
+    shared span so cdc_dup_stats flags every carrier doc."""
+    boiler = (
+        "identical legal disclaimer text repeated verbatim across pages "
+        "with enough characters to cover several content defined chunks "
+        "so that boundary resynchronization has room to happen"
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique{i} opening words for page number {i} " + boiler)
+            for i in range(6)
+        ]
+        + [(10, "completely unrelated page about something else entirely")],
+        "doc_id int, text string",
+    )
+    para = {r["doc_id"]: r["n_shared_paras"]
+            for r in D.paragraph_dup_stats(docs).collect()}
+    assert all(v == 0 for v in para.values())  # paragraph dedup is blind here
+    cdc = {r["doc_id"]: (r["n_shared_chunks"], r["n_chunks"])
+           for r in D.cdc_dup_stats(docs).collect()}
+    for i in range(6):
+        assert cdc[i][0] >= 1, (i, cdc[i])  # every carrier flagged
+    assert cdc[10][0] == 0                   # the unrelated doc is clean
