@@ -188,3 +188,36 @@ def test_streaming_scene_cuts_match_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_audio_segmentation_matches_batch(spark, tmp_path):
+    """R6 audio streaming: segment_audio is a stateless Arrow map (all
+    state lives within one clip's row), so it runs unchanged on a
+    file-source STREAM of landed audio rows — streamed segments must
+    equal the batch pass row-for-row. The §2.8 story for the audio
+    payload: silence trimming keeps up with the crawl."""
+    from jobscrawler_spark.generators import gen_vad_audio
+    from jobscrawler_spark.operators.multimodal import segment_audio
+
+    pdf = gen_vad_audio(10)
+    schema = "audio_id string, bytes binary, fmt string"
+    src = str(tmp_path / "audio_stream")
+    spark.createDataFrame(pdf.iloc[:5], schema).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[5:], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        segment_audio(stream)
+        .writeStream.format("memory")
+        .queryName("vad_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_vad"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from vad_stream").collect()))
+    want = sorted(
+        map(tuple, segment_audio(spark.createDataFrame(pdf, schema)).collect())
+    )
+    assert got == want and len(got) > 0
