@@ -1454,16 +1454,17 @@ def _e2e_fixture_oracles() -> dict[str, str]:
         [
             f"({_sql_str(i)}, {w}, {h}, CAST({asp!r} AS DOUBLE), "
             f"CAST({lm!r} AS DOUBLE), CAST({ls!r} AS DOUBLE), "
-            f"CAST({en!r} AS DOUBLE), CAST({sk} AS BIGINT), CAST({a6} AS BIGINT), "
+            f"CAST({en!r} AS DOUBLE), CAST({sk} AS BIGINT), CAST({lp} AS BIGINT), "
+            f"CAST({a6} AS BIGINT), "
             f"CAST({ct} AS INT), CAST({cr} AS BIGINT), "
             f"{str(ts).lower()}, {str(ba).lower()}, {str(le).lower()}, "
             f"{str(lc).lower()}, {str(ma).lower()}, {str(nf).lower()}, "
-            f"{str(fc).lower()}, {str(k).lower()})"
-            for i, w, h, asp, lm, ls, en, sk, a6, ct, cr, ts, ba, le, lc, ma, nf, fc, k in X.image_curation_rows()
+            f"{str(fc).lower()}, {str(fb).lower()}, {str(k).lower()})"
+            for i, w, h, asp, lm, ls, en, sk, lp, a6, ct, cr, ts, ba, le, lc, ma, nf, fc, fb, k in X.image_curation_rows()
         ],
-        "image_id, w, h, aspect, luma_mean, luma_std, entropy, skin_e4, align_e6, "
-        "cap_tokens, cap_rep_e4, too_small, bad_aspect, low_entropy, low_contrast, "
-        "misaligned, flagged_nsfw, flagged_caption, keep",
+        "image_id, w, h, aspect, luma_mean, luma_std, entropy, skin_e4, lap_e1, "
+        "align_e6, cap_tokens, cap_rep_e4, too_small, bad_aspect, low_entropy, "
+        "low_contrast, misaligned, flagged_nsfw, flagged_caption, flagged_blurry, keep",
     )
     out["crawl_recrawl"] = values(
         [f"({r}, {_sql_str(u)})" for r, u in X.crawl_recrawl_rows()],

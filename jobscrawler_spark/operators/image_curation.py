@@ -61,6 +61,10 @@ DEFAULTS = {
     "min_cap_tokens": 2,
     "max_cap_tokens": 64,
     "max_cap_rep_e4": 5000,
+    # r6 blur gate: mean |4-neighbor Laplacian| of the integer channel-sum
+    # luma, x10 (see _lap_e1). Sharp fixture classes sit >= 28, smooth
+    # ramps/flat fields <= ~5; production re-tunes like max_skin_e4.
+    "min_lap_e1": 20,
 }
 
 PROFILE_SCHEMA = (
@@ -152,6 +156,32 @@ def _skin_e4(img: np.ndarray) -> int:
     return int(m.sum()) * 10000 // int(m.size)
 
 
+def _lap_e1(img: np.ndarray) -> int:
+    """BLUR statistic: mean absolute 4-neighbor Laplacian of the INTEGER
+    channel-sum luma (r+g+b, 0..765), scaled x10 and floor-divided — all
+    integer arithmetic, so the sequential oracle's per-pixel loop agrees
+    bit-for-bit (the skin_e4 pattern). A smooth gradient can have high
+    CONTRAST (luma_std) yet a near-zero local derivative — the defect
+    low_contrast/low_entropy cannot see; classic sharpness =
+    variance-of-Laplacian, here in integral form. Images thinner than 3px
+    have no interior: statistic 0 (they are min_side fodder anyway)."""
+    l = (
+        img[:, :, 0].astype(np.int64)
+        + img[:, :, 1].astype(np.int64)
+        + img[:, :, 2].astype(np.int64)
+    )
+    if l.shape[0] < 3 or l.shape[1] < 3:
+        return 0
+    lap = (
+        4 * l[1:-1, 1:-1]
+        - l[:-2, 1:-1]
+        - l[2:, 1:-1]
+        - l[1:-1, :-2]
+        - l[1:-1, 2:]
+    )
+    return int(np.abs(lap).sum()) * 10 // int(lap.size)
+
+
 def _cosine_e6(a, b):
     """floor(cos(a, b) * 1e6 + 0.5) as bigint — array-order summation in
     the JVM; the sequential oracle mirrors the exact operation order."""
@@ -197,6 +227,7 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
                         "luma_std": round(std, 4),
                         "entropy": round(entropy, 4),
                         "skin_e4": _skin_e4(img),
+                        "lap_e1": _lap_e1(img),
                         "img_vec": _pool_embed(luma),
                     }
                 )
@@ -206,7 +237,7 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
         run,
         schema=PROFILE_SCHEMA.replace(
             "image_id string", "image_id string, caption string"
-        ).replace("entropy double", "entropy double, skin_e4 long"),
+        ).replace("entropy double", "entropy double, skin_e4 long, lap_e1 long"),
     )
     from ..functions.text import tokens_col
 
@@ -239,6 +270,7 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
         .withColumn("low_contrast", F.col("luma_std") < t["min_contrast"])
         .withColumn("misaligned", F.col("align_e6") < F.lit(thr_e6))
         .withColumn("flagged_nsfw", F.col("skin_e4") > F.lit(int(t["max_skin_e4"])))
+        .withColumn("flagged_blurry", F.col("lap_e1") < F.lit(int(t["min_lap_e1"])))
         .withColumn(
             "keep",
             ~(
@@ -249,6 +281,7 @@ def curate_images(images: DataFrame, **thresholds) -> DataFrame:
                 | F.col("misaligned")
                 | F.col("flagged_nsfw")
                 | F.col("flagged_caption")
+                | F.col("flagged_blurry")
             ),
         )
         .drop("img_vec", "caption", "__cap_nd")

@@ -205,6 +205,27 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
         cap_toks = [tk for tk in r["caption"].split() if tk]
         n_cap = len(cap_toks)
         rep_e4 = 0 if n_cap <= 0 else ((n_cap - len(set(cap_toks))) * 10000) // n_cap
+        # r6 blur gate: per-pixel PURE-PYTHON 4-neighbor Laplacian of the
+        # integer channel-sum luma (independent of the operator's
+        # vectorized slicing — integers are exact so order must agree)
+        lsum = [
+            [int(px3[0]) + int(px3[1]) + int(px3[2]) for px3 in row]
+            for row in img
+        ]
+        if h < 3 or w < 3:
+            lap_e1 = 0
+        else:
+            acc = 0
+            for y in range(1, h - 1):
+                for x in range(1, w - 1):
+                    acc += abs(
+                        4 * lsum[y][x]
+                        - lsum[y - 1][x]
+                        - lsum[y + 1][x]
+                        - lsum[y][x - 1]
+                        - lsum[y][x + 1]
+                    )
+            lap_e1 = acc * 10 // ((h - 2) * (w - 2))
         rec = {
             "image_id": r["image_id"],
             "w": w,
@@ -214,6 +235,7 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             "luma_std": round(std, 4),
             "entropy": round(entropy, 4),
             "skin_e4": skin * 10000 // len(px),
+            "lap_e1": lap_e1,
             "align_e6": int(math.floor(cos * 1e6 + 0.5)),
             "cap_tokens": n_cap,
             "cap_rep_e4": rep_e4,
@@ -229,6 +251,7 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             or n_cap > t["max_cap_tokens"]
             or rep_e4 > t["max_cap_rep_e4"]
         )
+        rec["flagged_blurry"] = rec["lap_e1"] < t["min_lap_e1"]
         rec["keep"] = not (
             rec["too_small"]
             or rec["bad_aspect"]
@@ -237,6 +260,7 @@ def curate_images_py(rows, **thresholds) -> list[dict]:
             or rec["misaligned"]
             or rec["flagged_nsfw"]
             or rec["flagged_caption"]
+            or rec["flagged_blurry"]
         )
         out.append(rec)
     return out
@@ -256,11 +280,11 @@ def image_curation_rows(n: int = 160, seed: int = 42) -> list[tuple]:
     return [
         (
             r["image_id"], r["w"], r["h"], r["aspect"], r["luma_mean"],
-            r["luma_std"], r["entropy"], r["skin_e4"], r["align_e6"],
-            r["cap_tokens"], r["cap_rep_e4"],
+            r["luma_std"], r["entropy"], r["skin_e4"], r["lap_e1"],
+            r["align_e6"], r["cap_tokens"], r["cap_rep_e4"],
             r["too_small"], r["bad_aspect"], r["low_entropy"],
             r["low_contrast"], r["misaligned"], r["flagged_nsfw"],
-            r["flagged_caption"], r["keep"],
+            r["flagged_caption"], r["flagged_blurry"], r["keep"],
         )
         for r in rows
     ]

@@ -125,3 +125,37 @@ def test_caption_defect_classes_flagged(fixture_pdf, oracle_rows):
                 assert r["cap_tokens"] == 1 and r["cap_rep_e4"] == 0, r
         else:
             assert not r["flagged_caption"], r
+
+
+def test_blur_flag_catches_contrasty_smooth_ramp(spark):
+    """The defect only the Laplacian can see: a smooth wide gradient has
+    HIGH contrast (luma_std >> min_contrast) and healthy entropy, but a
+    near-zero local derivative — low_contrast/low_entropy stay false and
+    flagged_blurry alone rejects it. A sharp textured image of the same
+    size passes."""
+    import numpy as np
+    import pandas as pd
+
+    from jobscrawler_spark.functions import codecs
+    from jobscrawler_spark.operators.image_curation import curate_images
+
+    ramp = np.clip(
+        np.rint(np.zeros((96, 512, 3)) + np.linspace(0, 100, 512)[None, :, None]),
+        0, 255,
+    ).astype(np.uint8)
+    sharp = np.random.default_rng(7).integers(0, 256, (96, 512, 3)).astype(np.uint8)
+    rows = [
+        {"image_id": "ramp", "bytes": codecs.encode(ramp, "raw"), "w": 512, "h": 96,
+         "fmt": "raw", "caption": "a smooth gradient banner image", "phash": 0},
+        {"image_id": "sharp", "bytes": codecs.encode(sharp, "raw"), "w": 512, "h": 96,
+         "fmt": "raw", "caption": "a sharp textured image", "phash": 0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["image_id"]: r for r in curate_images(
+        df, min_side=24, max_aspect=8.0, align_threshold=-1.0
+    ).collect()}
+    r = got["ramp"]
+    assert r["luma_std"] > 10.0 and not r["low_contrast"] and not r["low_entropy"]
+    assert r["lap_e1"] < 20 and r["flagged_blurry"] and not r["keep"]
+    s = got["sharp"]
+    assert s["lap_e1"] >= 20 and not s["flagged_blurry"]
