@@ -11,6 +11,9 @@ trivially-different spellings of one URL collapse:
 - strip default port (http:80, https:443); keep explicit non-default ports
 - empty path -> "/"
 - query params sorted lexicographically; empty params dropped
+- percent-encoding normalized per RFC 3986 §6.2.2 (r6): escape hex
+  uppercased (%2f -> %2F), unreserved escapes decoded (%7E -> ~) —
+  byte-different spellings of one URL collapse onto one seen-set entry
 
 Everything is pure Catalyst (parse_url / split / array_sort / concat), so
 canonicalization + xxhash64 stays inside whole-stage codegen — no Python in
@@ -33,6 +36,39 @@ DEFAULT_PORTS = {"http": "80", "https": "443"}
 # ---------------------------------------------------------------------------
 
 
+def pct_normalize_col(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure Catalyst:
+    escape hex digits UPPERCASE (%2f -> %2F) and UNRESERVED escapes
+    decoded (%41 -> A, %7E -> ~; unreserved = ALPHA / DIGIT / - . _ ~).
+    Reserved escapes (%2F, %26, ...) are never decoded, so structure
+    characters cannot leak into the path/query. Split on '%': every part
+    after the first begins with a candidate 2-hex escape; a malformed
+    escape is kept verbatim. Idempotent (decoded chars carry no '%';
+    surviving escapes are already uppercase)."""
+    parts = F.split(c, "%", -1)
+    head = F.element_at(parts, 1)
+
+    def fix(x):
+        hx = F.upper(F.substring(x, 1, 2))
+        valid = x.rlike("^[0-9A-Fa-f]{2}")
+        v = F.conv(hx, 16, 10).cast("int")
+        unres = (
+            ((v >= 48) & (v <= 57))
+            | ((v >= 65) & (v <= 90))
+            | ((v >= 97) & (v <= 122))
+            | v.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(x, 3, 2_000_000_000)
+        return F.when(valid & unres, F.concat(F.char(v), rest)).otherwise(
+            F.when(valid, F.concat(F.lit("%"), hx, rest)).otherwise(
+                F.concat(F.lit("%"), x)
+            )
+        )
+
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
 def canon_url_col(url: Column) -> Column:
     proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     host = F.lower(F.parse_url(url, F.lit("HOST")))
@@ -41,10 +77,17 @@ def canon_url_col(url: Column) -> Column:
     is_default = ((proto == "http") & (port == "80")) | ((proto == "https") & (port == "443"))
     port_part = F.when((port != "") & ~is_default, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
     raw_path = F.parse_url(url, F.lit("PATH"))
-    path = F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")).otherwise(raw_path)
+    path = pct_normalize_col(
+        F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")).otherwise(raw_path)
+    )
     query = F.parse_url(url, F.lit("QUERY"))
     sorted_q = F.array_join(
-        F.array_sort(F.filter(F.split(F.coalesce(query, F.lit("")), "&"), lambda x: x != "")),
+        F.array_sort(
+            F.filter(
+                F.split(pct_normalize_col(F.coalesce(query, F.lit(""))), "&", -1),
+                lambda x: x != "",
+            )
+        ),
         "&",
     )
     q_part = F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit(""))
@@ -79,6 +122,26 @@ def with_canonical(df: DataFrame, url_col: str = "url", n_shards: int = 16) -> D
 # ---------------------------------------------------------------------------
 
 
+_HEX = set("0123456789ABCDEF")
+
+
+def pct_normalize_py(s: str) -> str:
+    """Exact Python port of pct_normalize_col (oracle simulator + tests)."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        hx = p[:2].upper()
+        if len(p) >= 2 and hx[0] in _HEX and hx[1] in _HEX:
+            v = int(hx, 16)
+            if 48 <= v <= 57 or 65 <= v <= 90 or 97 <= v <= 122 or v in (45, 46, 95, 126):
+                out.append(chr(v) + p[2:])
+            else:
+                out.append("%" + hx + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
+
+
 def canonicalize_py(url: str) -> str:
     parts = urlsplit(url)
     proto = parts.scheme.lower()
@@ -86,8 +149,8 @@ def canonicalize_py(url: str) -> str:
     port = ""
     if parts.port is not None and str(parts.port) != DEFAULT_PORTS.get(proto):
         port = f":{parts.port}"
-    path = parts.path or "/"
-    params = sorted(p for p in parts.query.split("&") if p)
+    path = pct_normalize_py(parts.path or "/")
+    params = sorted(p for p in pct_normalize_py(parts.query).split("&") if p)
     q = f"?{'&'.join(params)}" if params else ""
     return f"{proto}://{host}{port}{path}{q}"
 

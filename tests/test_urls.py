@@ -259,3 +259,73 @@ def test_trap_filter_caps_traps_keeps_benign(spark):
     # deterministic across partitionings
     kept2 = [r["url"] for r in trap_filter(df.repartition(7)).collect()]
     assert sorted(kept) == sorted(kept2)
+
+
+def test_pct_normalization_classes(spark):
+    """RFC 3986 §6.2.2: unreserved escapes decode, reserved escapes stay
+    (uppercased), malformed escapes survive verbatim — Spark == port."""
+    from jobscrawler_spark.functions.urls import canonicalize_py
+
+    cases = {
+        # unreserved: decoded
+        "http://h.example.com/%7Euser/%41%62%30%2D%2E%5F": "http://h.example.com/~user/Ab0-._",
+        # reserved: kept, hex uppercased (%2f stays — '/' must not leak)
+        "http://h.example.com/a%2fb%3Fc": "http://h.example.com/a%2Fb%3Fc",
+        # query params normalized BEFORE sorting (%62=2 -> b=2 sorts after a=1)
+        "http://h.example.com/p?%62=2&a=1": "http://h.example.com/p?a=1&b=2",
+    }
+    for url, want in cases.items():
+        assert canonicalize_py(url) == want, url
+    # malformed escape: the port keeps the '%' verbatim; Spark never sees
+    # such a URL — parse_url itself throws INVALID_URL upstream of the
+    # canonicalizer, so the engine rejects it at the parse gate
+    assert canonicalize_py("http://h.example.com/100%25%2") == "http://h.example.com/100%25%2"
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canon"] for r in df.select(
+        "url", canon_url_col(F.col("url")).alias("canon")).collect()}
+    assert got == cases
+    # idempotent
+    for want in cases.values():
+        assert canonicalize_py(want) == want
+
+
+def test_pct_variants_collapse_in_crawl(spark, tmp_path):
+    """Seed list with %-encoded spellings of the same URL: engine and
+    oracle agree AND the variants collapse onto one seen-set entry."""
+    import pandas as pd
+
+    from jobscrawler_spark.engine import CrawlEngine
+    from jobscrawler_spark.generators import gen_politeness, gen_robots
+    from jobscrawler_spark.oracle.simulator import OracleCrawler
+
+    seeds = pd.DataFrame(
+        [
+            {"url": "http://h00.example.com/p/%31", "host": "h00.example.com",
+             "priority": 0.3, "depth": 0},     # /p/1 encoded
+            {"url": "http://h00.example.com/p/1", "host": "h00.example.com",
+             "priority": 0.5, "depth": 0},     # /p/1 plain — same URL
+            {"url": "http://h00.example.com/p/%7Ex", "host": "h00.example.com",
+             "priority": 0.4, "depth": 0},
+            {"url": "http://h00.example.com/p/~x", "host": "h00.example.com",
+             "priority": 0.6, "depth": 0},     # same as above
+            {"url": "http://h02.example.com/a%2Fb", "host": "h02.example.com",
+             "priority": 0.2, "depth": 0},     # reserved escape: distinct URL
+        ]
+    )
+    pol = gen_politeness(4, seed=3)
+    rob = gen_robots(4, seed=3)
+    eng = CrawlEngine(spark, str(tmp_path / "e"), n_shards=2, default_budget=4, max_depth=0)
+    eng.bootstrap(seeds, pol, rob)
+    eng.run(1)
+    sim = OracleCrawler(pol, rob, default_budget=4, max_depth=0, n_shards=2)
+    sim.bootstrap(seeds)
+    sim.run(1)
+    got = [(r["round"], r["url"]) for r in eng.fetch_log().select("round", "url").collect()]
+    assert got == [(d["round"], d["url"]) for d in sim.landed]
+    seen = {r["url"] for r in eng.seen.all_urls(spark).collect()}
+    assert seen == sim.seen
+    assert "http://h00.example.com/p/1" in seen
+    assert "http://h00.example.com/p/~x" in seen
+    assert "http://h02.example.com/a%2Fb" in seen
+    # the 5 seeds collapse to at most 3 distinct URLs (h02 may be robots-gated)
+    assert len([u for u in seen if "/p/" in u]) == 2
