@@ -2378,8 +2378,17 @@ def q_ann_topk(spark, sf):
         served = store.search(spark, q, k=5, nprobe=2).select(
             F.lit("store").alias("method"), "query_id", "vec_id", "sim", "rank"
         )
-        out = brute.unionByName(ivf).unionByName(served)
-        return spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        # 'store_del' (r6): TAKEDOWN — tombstone vec_ids 0 and 3 (both
+        # rank-1 self-matches in the baseline) and serve again; deleted
+        # ids must vanish and ranks close up, with the codebook frozen
+        served = spark.createDataFrame(served.collect(), served.schema)
+        store.delete(spark, [0, 3])
+        deleted = store.search(spark, q, k=5, nprobe=2).select(
+            F.lit("store_del").alias("method"), "query_id", "vec_id", "sim", "rank"
+        )
+        out = brute.unionByName(ivf).unionByName(deleted)
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out.unionByName(served)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -4075,6 +4084,15 @@ def _oracle_sql_static() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM isims) WHERE rank <= 5
+            UNION ALL
+            -- 'store_del' kind (r6 takedown): vec_ids 0 and 3 tombstoned —
+            -- deletion masks the LISTS only (codebook frozen before the
+            -- delete), so the oracle excludes them from the candidate side
+            -- and re-ranks; queries (incl. query 0/3) still run
+            SELECT 'store_del' AS method, query_id, vec_id, sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+              FROM isims WHERE vec_id NOT IN (0, 3)) WHERE rank <= 5
         """,
         "dedup_repeated_spans": f"""
             WITH d AS (

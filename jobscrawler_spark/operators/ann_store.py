@@ -41,6 +41,57 @@ class IvfIndexStore:
     def __init__(self, base_path: str):
         self.centroids = SnapshotTable(f"{base_path}/centroids")
         self.assignments = SnapshotTable(f"{base_path}/assignments")
+        self.tombstones = SnapshotTable(f"{base_path}/tombstones")
+
+    def _tombstone_ids(self, spark: SparkSession) -> DataFrame | None:
+        # live chain only (since the last overwrite) — after compact()
+        # clears the set, superseded append snapshots must not resurrect
+        # deletions (the incremental_image_dedup_report _snaps_at rule).
+        # Only APPEND snapshots count as evidence: the cleared-overwrite
+        # marker compact() commits is an empty non-partitioned write, and
+        # those still carry one schema-only parquet file (has_data=True).
+        live = self.tombstones._snaps_at(None)
+        if not any(s["mode"] == "append" and s.get("has_data") for s in live):
+            return None
+        return self.tombstones.read(spark).select("vec_id").distinct()
+
+    def delete(self, spark: SparkSession, ids) -> None:
+        """TAKEDOWN path (GDPR/DMCA removal — the operation a 10^10-vector
+        serving store cannot answer with a rebuild): append the ids to a
+        TOMBSTONE snapshot table — O(deleted ids), the partitioned lists
+        are not touched — and search masks them immediately via a
+        broadcast anti-join (takedowns are dimension-sized). compact()
+        later rewrites the lists without the dead rows and clears the
+        tombstones; serving results are identical before and after the
+        compaction (test-pinned). ``ids``: a 1-col DataFrame or a list of
+        vec_ids."""
+        if not isinstance(ids, DataFrame):
+            vals = list(ids)
+            typ = "bigint" if all(isinstance(v, int) for v in vals) else "string"
+            ids = spark.createDataFrame([(v,) for v in vals], f"vec_id {typ}")
+        self.tombstones.append(
+            ids.select("vec_id").distinct(), meta={"stage": "delete"}
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Physically drop tombstoned rows: one overwrite snapshot of the
+        lists (partition layout preserved), superseded dirs expired, and
+        the tombstone set cleared — disk returns to O(live vectors) and
+        search stops paying the anti-join."""
+        tomb = self._tombstone_ids(spark)
+        if tomb is None:
+            return
+        live = self.assignments.read(spark).join(
+            F.broadcast(tomb), "vec_id", "left_anti"
+        ).localCheckpoint()
+        sid = self.assignments.overwrite(
+            live, meta={"stage": "compact"}, partition_by="centroid_id"
+        )
+        self.assignments.expire_before(sid)
+        tsid = self.tombstones.overwrite(
+            tomb.limit(0), meta={"stage": "cleared"}
+        )
+        self.tombstones.expire_before(tsid)
 
     def build(
         self,
@@ -116,6 +167,9 @@ class IvfIndexStore:
             for r in q_assigned.select("centroid_id").distinct().collect()
         ]
         lists = self.assignments.read(spark).filter(F.col("centroid_id").isin(probed))
+        tomb = self._tombstone_ids(spark)
+        if tomb is not None:
+            lists = lists.join(F.broadcast(tomb), "vec_id", "left_anti")
         sims = lists.join(F.broadcast(q_assigned), "centroid_id").select(
             "query_id",
             "vec_id",

