@@ -1572,6 +1572,14 @@ def _phash_neardup_oracle() -> str:
             SELECT 'incremental', id_a, id_b, hamming, NULL, NULL FROM pairs
             WHERE id_a LIKE '%~v' OR id_b LIKE '%~v'
             UNION ALL
+            -- r6 query-side lookup: variants probe the BASE store; banded
+            -- probe == exact all-pairs at hamming <= n_bands-1 (pigeonhole),
+            -- so the oracle states it exactly
+            SELECT 'lookup', v.image_id, b.image_id,
+                   CAST(bit_count(xor(v.phash, b.phash)) AS INT), NULL, NULL
+            FROM withvar v JOIN base b ON bit_count(xor(v.phash, b.phash)) <= 7
+            WHERE v.image_id LIKE '%~v'
+            UNION ALL
             -- r6 pixel verification: exact all-pairs recompute (expected.py)
             SELECT 'verified', id_a, id_b, CAST(hamming AS INT),
                    CAST(sad AS BIGINT), verified
@@ -2523,6 +2531,7 @@ def q_image_phash_neardup(spark, sf):
     from jobscrawler_spark.operators.similarity import (
         incremental_phash_pairs,
         phash_bands,
+        phash_lookup,
         phash_near_dup_pairs,
         verify_near_dup_pairs,
     )
@@ -2540,6 +2549,19 @@ def q_image_phash_neardup(spark, sf):
     incr = incremental_phash_pairs(new_b, old_b).select(
         F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming", *nosad
     )
+    # 'lookup' (r6): query-side serving probe — the 1-bit variants query
+    # the BASE images' persisted bands (similarity.phash_lookup, broadcast
+    # probe, no store re-band); banded == exact all-pairs at hamming<=7 by
+    # pigeonhole, which is precisely what the oracle re-states
+    look = phash_lookup(
+        imgs.filter(F.col("image_id").endswith("~v")), old_b
+    ).select(
+        F.lit("lookup").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("image_id").alias("id_b"),
+        "hamming",
+        *nosad,
+    )
     vf = spark.createDataFrame(
         gen_verify_images(48),
         "image_id string, bytes binary, w int, h int, fmt string, phash long",
@@ -2547,7 +2569,7 @@ def q_image_phash_neardup(spark, sf):
     ver = verify_near_dup_pairs(phash_near_dup_pairs(vf), vf).select(
         F.lit("verified").alias("kind"), "id_a", "id_b", "hamming", "sad", "verified"
     )
-    return batch.unionByName(incr).unionByName(ver)
+    return batch.unionByName(incr).unionByName(look).unionByName(ver)
 
 
 def q_image_dedup_clusters(spark, sf):

@@ -479,6 +479,73 @@ def incremental_phash_pairs(
     )
 
 
+def phash_lookup(
+    queries: DataFrame,
+    store_bands: DataFrame,
+    max_hamming: int = 7,
+    k: int | None = None,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """QUERY-side near-dup lookup against the persisted phash band store —
+    the image seen-probe: "which stored images does this new image
+    collide with?", answered WITHOUT re-banding the corpus (the serving
+    mirror of ann_store.search, pixel edition). A crawl uses it before
+    committing a landed payload (dup under a new URL → link, don't
+    store), a takedown pipeline uses it to find re-hosted copies of a
+    flagged image.
+
+    ``queries``: (id_col, phash_col) rows; ``store_bands``: a
+    ``phash_bands`` output (e.g. the SnapshotTable the engine's
+    incremental dedup already appends per batch). The query bands
+    BROADCAST against one map-side pass of the store scan — a lookup
+    batch is dimension-sized by definition, so there is NO shuffle of the
+    store; hive-partition the store on band_idx (8 dirs) or
+    (band_idx, band_val) and a small probe set prunes files too. Exact
+    ``bit_count(xor)`` verification after the bucket join; pigeonhole
+    recall is 100% for ``max_hamming <= n_bands - 1``, so at the default
+    (7, 8 bands) the result set EQUALS the exact all-pairs scan. A query
+    id present in the store returns its own hamming-0 row — that IS the
+    seen signal. Returns (query_id, id_col, hamming) plus ``rank`` when
+    ``k`` is set (per-query top-k, hamming then id tiebreak)."""
+    qb = phash_bands(
+        queries.select(F.col(id_col).alias("query_id"), F.col(phash_col)),
+        id_col="query_id",
+        phash_col=phash_col,
+        n_bands=n_bands,
+    )
+    cand = (
+        F.broadcast(qb.alias("q"))
+        .join(
+            store_bands.alias("s"),
+            (F.col("q.band_idx") == F.col("s.band_idx"))
+            & (F.col("q.band_val") == F.col("s.band_val")),
+        )
+        .select(
+            "q.query_id",
+            f"s.{id_col}",
+            F.col(f"q.{phash_col}").alias("_qp"),
+            F.col(f"s.{phash_col}").alias("_sp"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_qp").bitwiseXOR(F.col("_sp"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("query_id", id_col, "hamming")
+    )
+    if k is not None:
+        w = Window.partitionBy("query_id").orderBy("hamming", id_col)
+        out = (
+            out.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+    return out
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -228,3 +228,52 @@ def test_engine_incremental_clusters_match_one_shot(spark, tmp_path):
     got4 = {(r["node"], r["component"])
             for r in eng2.incremental_image_clusters(max_hamming=20).collect()}
     assert got4 == got2
+
+
+def test_phash_lookup_serving_probe(spark, tmp_path):
+    """Query-side lookup (r6): variants probe the persisted base store —
+    result equals the exact all-pairs scan at hamming<=7 (pigeonhole), a
+    stored query id returns its own hamming-0 row (the seen signal),
+    top-k ranks close over (hamming, image_id), and the store side is
+    NEVER shuffled (broadcast probe plan-pinned)."""
+    import __spark_entry__ as E
+    from jobscrawler_spark.operators import similarity as S
+
+    imgs = E._phash_fixture_df(spark)
+    base = imgs.filter(~F.col("image_id").endswith("~v")).localCheckpoint()
+    variants = imgs.filter(F.col("image_id").endswith("~v"))
+    store = SnapshotTable(str(tmp_path / "lookup_bands"))
+    store.append(S.phash_bands(base))
+    sb = store.read(spark)
+
+    got = sorted(map(tuple, S.phash_lookup(variants, sb).collect()))
+    exact = sorted(
+        (q["image_id"], s["image_id"], bin(q["phash"] ^ s["phash"]).count("1"))
+        for q in variants.collect()
+        for s in base.collect()
+        if bin(q["phash"] ^ s["phash"]).count("1") <= 7
+    )
+    assert got == exact and len(got) >= 256
+
+    # seen signal: probe with a stored image itself
+    me = base.limit(1)
+    mine = S.phash_lookup(me, sb).collect()
+    my_id = me.collect()[0]["image_id"]
+    assert any(r["query_id"] == my_id == r["image_id"] and r["hamming"] == 0 for r in mine)
+
+    # top-k: ranks are 1..k per query, ordered by (hamming, image_id)
+    topk = S.phash_lookup(variants, sb, k=3)
+    rows = topk.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["hamming"], r["image_id"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert [(h, i) for _, h, i in rs] == sorted((h, i) for _, h, i in rs)
+        assert len(rs) <= 3
+
+    # plan: the probe side broadcasts; the store scan is map-side (no
+    # Exchange between the parquet scan and the join)
+    plan = S.phash_lookup(variants, sb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
