@@ -604,12 +604,122 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- readers
     def images_df(self) -> DataFrame:
-        return self.images.read(self.spark)
+        """Landed images, minus any taken-down ids (takedown_images):
+        the mask is a BROADCAST anti-join (takedown sets are
+        dimension-sized) applied at the single read chokepoint, so every
+        consumer — fetch_log, dedup reports, exports — stops serving
+        removed content the moment the tombstone commits, with zero cost
+        when no takedown exists."""
+        df = self.images.read(self.spark)
+        dead = self._takedown_ids()
+        if dead is not None:
+            df = df.join(F.broadcast(dead), "image_id", "left_anti")
+        return df
 
     def fetch_log(self) -> DataFrame:
         """Landed fetches in the deterministic order contract
-        (round, priority, url)."""
+        (round, priority, url). Reflects LIVE content: taken-down rows
+        are masked with the payloads (the lineage a takedown must erase
+        is the stored copy, and the bytes ride the same row)."""
         return self.images_df().orderBy("round", "priority", "url")
+
+    # ---------------------------------------------------------- takedowns
+    def _takedown_store(self) -> SnapshotTable:
+        return SnapshotTable(f"{self.base}/takedowns")
+
+    def _takedown_ids(self) -> DataFrame | None:
+        """Live takedown set, or None. Only APPEND snapshots count —
+        compact_takedowns clears the store with an empty overwrite
+        marker, and empty non-partitioned writes still carry one
+        schema-only parquet file (the ann_store._tombstone_ids rule)."""
+        store = self._takedown_store()
+        live = store._snaps_at(None)
+        if not any(s["mode"] == "append" and s.get("has_data") for s in live):
+            return None
+        return store.read(self.spark).select("image_id").distinct()
+
+    def takedown_images(
+        self, image_ids, find_copies: bool = True, max_hamming: int = 0
+    ) -> DataFrame:
+        """TAKEDOWN (GDPR/DMCA): remove images from everything the
+        engine serves — without rewriting a 10^10-row landed table on
+        the request path. The flagged ids append to a tombstone
+        SnapshotTable (O(flagged)); ``images_df`` masks them at once via
+        a broadcast anti-join, so reports/exports/logs all comply
+        immediately. With ``find_copies`` the request first expands to
+        RE-HOSTED copies via ``similarity.phash_lookup`` against the
+        landed phashes (default ``max_hamming=0``: bit-identical pixels
+        under different URLs; raise toward 7 to sweep near-dups) — one
+        broadcast probe, no corpus self-join. Physical deletion is
+        deferred to ``compact_takedowns`` on the operator's schedule,
+        not the regulator's; serving is identical before and after
+        (test-pinned). The store lives under base_path, so takedowns
+        survive ``resume``. Returns the expanded set
+        (image_id, via='seed'|'phash_copy')."""
+        from .operators.similarity import phash_bands, phash_lookup
+
+        if not isinstance(image_ids, DataFrame):
+            image_ids = self.spark.createDataFrame(
+                [(str(i),) for i in image_ids], "image_id string"
+            )
+        seeds = image_ids.select("image_id").distinct().localCheckpoint()
+        out = seeds.withColumn("via", F.lit("seed"))
+        if find_copies:
+            qimgs = self.images_df().join(
+                F.broadcast(seeds), "image_id"
+            ).select("image_id", "phash")
+            copies = (
+                phash_lookup(
+                    qimgs,
+                    phash_bands(self.images_df().select("image_id", "phash")),
+                    max_hamming=max_hamming,
+                )
+                .select("image_id")
+                .join(F.broadcast(seeds), "image_id", "left_anti")
+                .distinct()
+                .withColumn("via", F.lit("phash_copy"))
+            )
+            out = out.unionByName(copies)
+        out = out.localCheckpoint()
+        self._takedown_store().append(
+            out.select("image_id"), meta={"stage": "takedown"}
+        )
+        return out
+
+    def compact_takedowns(self) -> None:
+        """Physically drop tombstoned rows from the landed table, the
+        phash band store, and the dedup label store (one overwrite
+        snapshot each, superseded dirs expired), then clear the takedown
+        set — disk returns to O(live content) and reads stop paying the
+        anti-join. Serving output is unchanged (test-pinned)."""
+        dead = self._takedown_ids()
+        if dead is None:
+            return
+        dead = dead.localCheckpoint()
+        for store, key in (
+            (self.images, "image_id"),
+            (SnapshotTable(f"{self.base}/phash_bands"), "image_id"),
+            (SnapshotTable(f"{self.base}/dedup_labels"), "node"),
+        ):
+            if not any(s.get("has_data") for s in store._snaps_at(None)):
+                continue
+            live = store.read(self.spark).join(
+                F.broadcast(dead.withColumnRenamed("image_id", key)),
+                key,
+                "left_anti",
+            ).localCheckpoint()
+            # carry the watermark forward: clearing it would make the next
+            # incremental call re-ingest every round
+            metas = [s["meta"] for s in store._snaps_at(None)]
+            upto = max((m.get("upto_round", -1) for m in metas), default=-1)
+            meta = {"stage": "takedown_compact"}
+            if upto >= 0:
+                meta["upto_round"] = upto
+            sid = store.overwrite(live, meta=meta)
+            store.expire_before(sid)
+        tstore = self._takedown_store()
+        tsid = tstore.overwrite(dead.limit(0), meta={"stage": "cleared"})
+        tstore.expire_before(tsid)
 
     def image_dedup_report(self, max_hamming: int = 7) -> DataFrame:
         """Post-crawl image dedup over the landed images table: phash
@@ -661,6 +771,12 @@ class CrawlEngine:
         nb = phash_bands(new_imgs).localCheckpoint()
         has_old = any(s.get("has_data") for s in store.snapshots())
         ob = store.read(self.spark) if has_old else nb.limit(0)
+        # taken-down images must stop matching immediately — their bands
+        # stay in the store until compact_takedowns, so mask the read
+        # (images_df already masks the new side)
+        dead = self._takedown_ids()
+        if dead is not None:
+            ob = ob.join(F.broadcast(dead), "image_id", "left_anti")
         pairs = incremental_phash_pairs(nb, ob, max_hamming=max_hamming).localCheckpoint()
         # append-heavy store hygiene (the delta_frontier compaction
         # argument): every call adds a snapshot whose files read() must
@@ -719,7 +835,20 @@ class CrawlEngine:
         )
         has_old = any(s.get("has_data") for s in lstore.snapshots())
         if has_old:
-            labels = incremental_components(edges, lstore.read(self.spark))
+            old_labels = lstore.read(self.spark)
+            # drop taken-down nodes from the folded-forward state (their
+            # star edges would otherwise resurrect them in the new label
+            # table; connectivity THROUGH an already-merged component is
+            # retained by design — the content is gone, the historical
+            # cluster identity is not recut)
+            dead = self._takedown_ids()
+            if dead is not None:
+                old_labels = old_labels.join(
+                    F.broadcast(dead.withColumnRenamed("image_id", "node")),
+                    "node",
+                    "left_anti",
+                )
+            labels = incremental_components(edges, old_labels)
         else:
             labels = connected_components(edges)
         labels = labels.localCheckpoint()
