@@ -681,10 +681,58 @@ class CrawlEngine:
             )
             out = out.unionByName(copies)
         out = out.localCheckpoint()
-        self._takedown_store().append(
-            out.select("image_id"), meta={"stage": "takedown"}
-        )
+        # a notice that resolves to nothing (URL never landed) must not
+        # commit a snapshot: _takedown_ids counts append snapshots as
+        # evidence, and an empty non-partitioned write still carries a
+        # schema-only parquet file
+        if out.limit(1).count() > 0:
+            self._takedown_store().append(
+                out.select("image_id"), meta={"stage": "takedown"}
+            )
         return out
+
+    def takedown_urls(
+        self, urls, find_copies: bool = True, max_hamming: int = 0
+    ) -> DataFrame:
+        """Takedown addressed the way a notice actually arrives — by URL,
+        not internal image id. The notice URLs run through the SAME
+        canonicalizer the crawl stored them under (dirty variants — case,
+        default ports, percent-encoding, tracker params — resolve to the
+        stored row), map to landed image_ids with a broadcast join, and
+        delegate to ``takedown_images``. URLs never landed resolve to
+        nothing, harmlessly. Returns the expanded (image_id, via) set."""
+        from .functions.urls import canonicalize_py
+
+        canon = sorted({canonicalize_py(str(u)) for u in urls})
+        hits = (
+            self.images_df()
+            .join(
+                F.broadcast(
+                    self.spark.createDataFrame([(u,) for u in canon], "url string")
+                ),
+                "url",
+            )
+            .select("image_id")
+            .distinct()
+        )
+        return self.takedown_images(
+            hits, find_copies=find_copies, max_hamming=max_hamming
+        )
+
+    def takedown_host(self, host: str, find_copies: bool = False) -> DataFrame:
+        """Host-level purge — the robots-revocation / site-owner-request
+        case: every landed image from ``host`` tombstones in one call
+        (the host column is already on the landed rows; one filter, no
+        join). ``find_copies`` defaults False: copies on OTHER hosts are
+        someone else's content — sweeping them is a policy decision, not
+        a default."""
+        hits = (
+            self.images_df()
+            .filter(F.col("host") == host)
+            .select("image_id")
+            .distinct()
+        )
+        return self.takedown_images(hits, find_copies=find_copies)
 
     def compact_takedowns(self) -> None:
         """Physically drop tombstoned rows from the landed table, the

@@ -103,3 +103,41 @@ def test_takedown_drops_nodes_from_incremental_cluster_labels(spark, tmp_path):
     assert some not in nodes
     # every live image is labeled, nothing else
     assert nodes == {r["image_id"] for r in eng.images_df().collect()}
+
+
+def test_takedown_by_url_and_host(spark, tmp_path):
+    """Notices arrive as URLs/hosts, not image ids: a DIRTY variant of a
+    landed URL (case, default port, percent-encoding) resolves through
+    the canonicalizer to the stored row; a host purge removes exactly
+    that host's images; a notice for a never-landed URL is a no-op that
+    commits no tombstone snapshot."""
+    eng = _eng(spark, tmp_path / "url")
+    eng.run(2)
+    rows = eng.images_df().select("image_id", "url", "host").collect()
+    victim = rows[0]
+
+    # dirty the URL: uppercase scheme+host and an explicit default port
+    from urllib.parse import urlsplit
+
+    p = urlsplit(victim["url"])
+    dirty = f"HTTP://{p.netloc.upper()}:80{p.path}" + (f"?{p.query}" if p.query else "")
+    td = eng.takedown_urls([dirty], find_copies=False)
+    assert {r["image_id"] for r in td.collect()} == {victim["image_id"]}
+    assert victim["image_id"] not in {
+        r["image_id"] for r in eng.images_df().select("image_id").collect()
+    }
+
+    # never-landed URL: no-op, no snapshot committed
+    n_snaps = len(eng._takedown_store().snapshots())
+    td2 = eng.takedown_urls(["http://never.example.net/x"], find_copies=False)
+    assert td2.count() == 0
+    assert len(eng._takedown_store().snapshots()) == n_snaps
+
+    # host purge: exactly that host's remaining images go
+    host = rows[1]["host"]
+    host_ids = {r["image_id"] for r in rows if r["host"] == host} - {victim["image_id"]}
+    assert host_ids
+    td3 = eng.takedown_host(host)
+    assert {r["image_id"] for r in td3.collect()} == host_ids
+    left = {r["host"] for r in eng.images_df().select("host").collect()}
+    assert host not in left
