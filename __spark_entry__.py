@@ -2294,7 +2294,20 @@ def q_dedup_minhash_lsh(spark, sf):
         "doc_b",
         "jacc_e6",
     )
-    return batch.unionByName(incr).unionByName(ver)
+    # 'lookup' (r6): QUERY-side serving probe (dedupe.minhash_lookup,
+    # text sibling of phash_lookup) — the new docs probe the persisted
+    # store bands of docs < 100 with exact-Jaccard verification attached;
+    # the oracle re-states it as the one-shot (old, new) band pairs
+    # carrying their verified jacc (query id as doc_a)
+    look = D.minhash_lookup(
+        d.filter(F.col("doc_id") >= 100), old_bands, verify_with=d
+    ).select(
+        F.lit("lookup").alias("kind"),
+        F.col("query_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        "jacc_e6",
+    )
+    return batch.unionByName(incr).unionByName(look).unionByName(ver)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -3938,6 +3951,14 @@ def _oracle_sql_static() -> dict[str, str]:
             -- incremental ingest == one-shot pairs touching >= 1 new doc
             SELECT 'incremental', doc_a, doc_b, CAST(-1 AS BIGINT) FROM pairs
             WHERE doc_a >= 100 OR doc_b >= 100
+            UNION ALL
+            -- r6 query-side lookup: new docs (>= 100) probe the stored
+            -- bands of old docs (< 100) with exact-Jaccard verification;
+            -- == the one-shot (old, new) band pairs with their verified
+            -- jacc, query id emitted first
+            SELECT 'lookup', v.doc_b, v.doc_a, v.jacc_e6
+            FROM ver v JOIN pairs p ON p.doc_a = v.doc_a AND p.doc_b = v.doc_b
+            WHERE v.doc_a < 100 AND v.doc_b >= 100
             UNION ALL
             SELECT CASE WHEN jacc_e6 >= 500000 THEN 'verified'
                         ELSE 'rejected' END, doc_a, doc_b, jacc_e6

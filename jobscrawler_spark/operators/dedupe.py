@@ -294,6 +294,56 @@ def incremental_minhash_pairs(
     )
 
 
+def minhash_lookup(
+    query_docs: DataFrame,
+    store_bands: DataFrame,
+    verify_with: DataFrame | None = None,
+    text_col: str = "text",
+    n_perm: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """QUERY-side near-dup lookup against the persisted MinHash band
+    store — the text sibling of similarity.phash_lookup: "is this
+    document a near-duplicate of anything in the corpus?", answered
+    without re-signing the corpus. The serving uses: eval-set
+    CONTAMINATION probe before a benchmark ships, dedup-before-ingest
+    for a document batch, takedown copy-finding on the text side.
+
+    ``query_docs``: (doc_id, text) rows; ``store_bands``: a
+    ``minhash_bands`` output (the SnapshotTable incremental dedup
+    already appends per batch). The query batch's bands BROADCAST
+    against one map-side pass of the store scan (a probe set is
+    dimension-sized; bucket the store on band_key and small probes
+    prune files too) — the store is never shuffled. A query id present
+    in the store returns its own row — that is the seen signal.
+
+    Candidates are MinHash-probabilistic (unlike the phash probe there
+    is no pigeonhole exactness), so pass ``verify_with`` — a (doc_id,
+    text) table covering both sides — to attach the EXACT word-k-gram
+    Jaccard via verify_candidate_pairs (candidate-bounded, never
+    corpus x corpus). Returns (query_id, doc_id) candidates, plus
+    ``jacc_e6`` when verified."""
+    qb = minhash_bands(query_docs, text_col, n_perm, band_size, k).select(
+        F.col("doc_id").alias("query_id"), "band", "band_key"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(store_bands, ["band", "band_key"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    if verify_with is None:
+        return cand
+    pairs = cand.select(
+        F.col("query_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    ver = verify_candidate_pairs(verify_with, pairs, text_col, k)
+    return ver.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("doc_id"), "jacc_e6"
+    )
+
+
 def verify_candidate_pairs(
     docs: DataFrame,
     pairs: DataFrame,

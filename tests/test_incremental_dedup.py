@@ -277,3 +277,46 @@ def test_phash_lookup_serving_probe(spark, tmp_path):
     # Exchange between the parquet scan and the join)
     plan = S.phash_lookup(variants, sb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_lookup_serving_probe(spark, docs, tmp_path):
+    """Text query-side lookup (r6): a query batch probes the persisted
+    band store — candidates equal the band-collision set, a stored query
+    doc returns its own jacc=1e6 row (the seen signal), verification is
+    candidate-bounded and exact, and the probe side broadcasts."""
+    base = docs.filter(F.col("doc_id") < 70)
+    store = SnapshotTable(str(tmp_path / "mh_bands"))
+    store.append(D.minhash_bands(base))
+    sb = store.read(spark)
+    queries = docs.filter(F.col("doc_id") >= 70)
+
+    cand = sorted(map(tuple, D.minhash_lookup(queries, sb).collect()))
+    ref = sorted(
+        (r["doc_a"], r["doc_b"]) if r["doc_b"] < 70 else (r["doc_b"], r["doc_a"])
+        for r in D.incremental_minhash_pairs(
+            D.minhash_bands(queries), D.minhash_bands(base)
+        ).collect()
+        if (r["doc_a"] >= 70) != (r["doc_b"] >= 70)  # query x store only
+    )
+    # (query_id, doc_id) vs canonical (new, old) — same set
+    assert cand == sorted((q, s) for q, s in ref)
+
+    # verified: one row per candidate, exact jaccard attached
+    ver = D.minhash_lookup(queries, sb, verify_with=docs).collect()
+    assert sorted((r["query_id"], r["doc_id"]) for r in ver) == cand
+    assert all(0 <= r["jacc_e6"] <= 1_000_000 for r in ver)
+
+    # seen signal: a stored doc probing the store hits itself exactly
+    me = base.filter(F.col("doc_id") == 0)
+    mine = D.minhash_lookup(me, sb, verify_with=docs).collect()
+    assert any(
+        r["query_id"] == 0 and r["doc_id"] == 0 and r["jacc_e6"] == 1_000_000
+        for r in mine
+    )
+
+    # plan: probe side broadcasts — the store is never shuffled
+    plan = (
+        D.minhash_lookup(queries, sb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
