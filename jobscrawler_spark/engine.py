@@ -755,7 +755,34 @@ class CrawlEngine:
                 F.broadcast(dead.withColumnRenamed("image_id", key)),
                 key,
                 "left_anti",
-            ).localCheckpoint()
+            )
+            if key == "node":
+                # dedup_labels: a dead id that was a component's min-id
+                # REPRESENTATIVE survives the node-side anti-join as a
+                # component VALUE on live rows; once the tombstones are
+                # cleared below, nothing masks it and the next incremental
+                # clustering would resurrect it as a labeled node (ADVICE
+                # r6). Remap dead component ids to the component's min
+                # LIVE member — exactly the id a one-shot clustering over
+                # the live images would pick.
+                mins = live.groupBy("component").agg(
+                    F.min("node").alias("__minn")
+                )
+                live = (
+                    live.join(mins, "component")
+                    .join(
+                        F.broadcast(dead.withColumnRenamed("image_id", "__dc")),
+                        F.col("component") == F.col("__dc"),
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.when(F.col("__dc").isNotNull(), F.col("__minn"))
+                        .otherwise(F.col("component"))
+                        .alias("component"),
+                    )
+                )
+            live = live.localCheckpoint()
             # carry the watermark forward: clearing it would make the next
             # incremental call re-ingest every round
             metas = [s["meta"] for s in store._snaps_at(None)]
@@ -768,6 +795,12 @@ class CrawlEngine:
         tstore = self._takedown_store()
         tsid = tstore.overwrite(dead.limit(0), meta={"stage": "cleared"})
         tstore.expire_before(tsid)
+        # recommit: the compaction overwrote the images snapshot AND
+        # expired its predecessors — a resume against the stale
+        # checkpoint.json would roll images back to an expired snapshot id
+        # and silently destroy the landed table (ADVICE r6, reproduced:
+        # 93 images -> 0 after takedown + compact + resume)
+        self._commit_checkpoint()
 
     def image_dedup_report(self, max_hamming: int = 7) -> DataFrame:
         """Post-crawl image dedup over the landed images table: phash
@@ -897,6 +930,17 @@ class CrawlEngine:
                     "left_anti",
                 )
             labels = incremental_components(edges, old_labels)
+            if dead is not None:
+                # a dead id that was a multi-member component's REPRESENTATIVE
+                # re-enters the vertex set through the surviving
+                # (live_node, dead_id) star edges and would be re-emitted as
+                # a labeled node — mask the RESULT's node column too
+                # (ADVICE r6; nodes == live images is the invariant)
+                labels = labels.join(
+                    F.broadcast(dead.withColumnRenamed("image_id", "node")),
+                    "node",
+                    "left_anti",
+                )
         else:
             labels = connected_components(edges)
         labels = labels.localCheckpoint()

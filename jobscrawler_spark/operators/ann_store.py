@@ -148,24 +148,19 @@ class IvfIndexStore:
         q = queries.select(
             F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
         )
-        q_assigned = (
-            ivf_assign(q, cents, nprobe, "embedding", "vec_id")
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("_v").alias("_q"),
-                F.col("_nv").alias("_nq"),
-                "centroid_id",
-            )
-            # pin the assignment before the driver-side distinct-centroid
-            # collect: without this the collect runs the full assignment
-            # job AND the broadcast join below re-executes the same
-            # lineage — double query-side work per search (ADVICE r5)
-            .localCheckpoint()
+        q_df = ivf_assign(q, cents, nprobe, "embedding", "vec_id").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_v").alias("_q"),
+            F.col("_nv").alias("_nq"),
+            "centroid_id",
         )
-        probed = [
-            r["centroid_id"]
-            for r in q_assigned.select("centroid_id").distinct().collect()
-        ]
+        # ONE bounded collect serves both the probe list and the broadcast
+        # side (a probe batch is dimension-sized by contract): the old
+        # localCheckpoint + distinct-collect pair was two jobs per search
+        # for the same rows (r7; supersedes the ADVICE r5 checkpoint fix)
+        q_rows = q_df.collect()
+        q_assigned = spark.createDataFrame(q_rows, q_df.schema)
+        probed = sorted({r["centroid_id"] for r in q_rows})
         lists = self.assignments.read(spark).filter(F.col("centroid_id").isin(probed))
         tomb = self._tombstone_ids(spark)
         if tomb is not None:

@@ -40,12 +40,15 @@ def connected_components(
     # localCheckpoint (not persist): iteration must TRUNCATE lineage, or the
     # logical plan doubles every round and the driver dies on plan analysis
     # long before data size matters
-    sym = sym.localCheckpoint()
+    # lazy: the first round's convergence count materializes both (and
+    # truncates their lineage) inside its own job — no standalone
+    # checkpoint jobs up front (r7)
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
@@ -56,10 +59,15 @@ def connected_components(
             .agg(F.min("nl").alias("nbr_label"))
             .withColumnRenamed("a", "node")
         )
+        # the PREVIOUS label rides along as _old so convergence is a
+        # map-side filter over the checkpointed result — the old
+        # join-doubled-with-labels change count was one extra shuffle
+        # join + job per round (r7)
         stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
         )
@@ -67,20 +75,20 @@ def connected_components(
         parents = stepped.select(
             F.col("node").alias("label"), F.col("label").alias("grand")
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes (and truncates) the round — one job per round, not
+        # a checkpoint job plus a count job
         doubled = (
             stepped.join(parents, "label", "left")
             .select(
                 "node",
+                "_old",
                 F.least(F.col("label"), F.coalesce("grand", F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            doubled.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = doubled
+        changed = doubled.filter(F.col("label") != F.col("_old")).count()
+        labels = doubled.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

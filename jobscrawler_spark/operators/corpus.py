@@ -112,15 +112,22 @@ def _decontaminate_tail(
         F.broadcast(bg.select("gram").distinct()), "gram", "left_semi"
     )
     if max_doc_freq is not None:
+        # the matched-gram rows feed BOTH the DF-cap aggregate and the
+        # benchmark join — persist them so the corpus gram explode runs
+        # once, not once per consumer (r7; O(matched grams) rows, bounded
+        # by the benchmark gram set's corpus occurrences)
+        dg = dg.persist()
         rare = (
             dg.groupBy("gram")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") <= max_doc_freq)
             .select("gram")
         )
-        dg = dg.join(rare, "gram")
+        # both small sides broadcast: the cap survivors are <= the matched
+        # gram count and bg is eval-set-sized — neither join shuffles dg
+        dg = dg.join(F.broadcast(rare), "gram")
     return (
-        dg.join(bg, "gram")
+        dg.join(F.broadcast(bg), "gram")
         .groupBy(id_col, bench_id_col)
         .agg(F.count("*").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
@@ -776,10 +783,15 @@ def dsir_scores(
     Scale shape (100 TB): two bounded driver-side bucket aggregates
     (``<= n_buckets`` rows each — the tfidf/lm bounded-collect pattern;
     the target set is a sample, the raw side one grouped agg over the
-    corpus), then one explode (the fan-out every gram operator pays), one
-    BROADCAST join of the lr literal, one uniform-key groupBy(id) sum,
-    one uniform-key join back. No vocab-sized shuffle, no skew (md5
-    buckets are uniform by construction)."""
+    corpus), then MAP-SIDE scoring: the ``n_buckets``-entry lr table
+    rides the plan as ONE array literal indexed by bucket (the
+    ivf_assign literal-codebook pattern — r7), and each document's score
+    is an ``F.aggregate`` over its own gram array. No explode fan-out,
+    no join, no groupBy(id) shuffle, no join back — zero Exchanges for
+    the scoring pass at any corpus size. Grams whose bucket never occurs
+    in the raw corpus contribute 0, exactly like the old inner join;
+    gram-less docs sum an empty array to 0, exactly like the old
+    left-join coalesce."""
 
     def _bucket_counts(df: DataFrame) -> dict[int, int]:
         return {
@@ -797,24 +809,17 @@ def dsir_scores(
 
     raw_c = _bucket_counts(docs)
     tgt_c = _bucket_counts(target)
-    spark = docs.sparkSession
-    lr = spark.createDataFrame(
-        dsir_lr_table(tgt_c, raw_c, n_buckets, scale),
-        "bucket int, lr_scaled bigint",
+    lr_map = dict(dsir_lr_table(tgt_c, raw_c, n_buckets, scale))
+    lr_arr = F.lit([int(lr_map.get(b, 0)) for b in range(n_buckets)])
+    score = F.aggregate(
+        F.transform(
+            unigram_bigram_col(F.col(text_col)),
+            lambda g: F.element_at(lr_arr, tfidf_bucket_col(g, n_buckets) + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
     )
-    scores = (
-        docs.select(
-            F.col(id_col),
-            F.explode(unigram_bigram_col(F.col(text_col))).alias("g"),
-        )
-        .select(id_col, tfidf_bucket_col(F.col("g"), n_buckets).alias("bucket"))
-        .join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("lr_scaled").alias("dsir_score"))
-    )
-    return docs.join(scores, id_col, "left").withColumn(
-        "dsir_score", F.coalesce(F.col("dsir_score"), F.lit(0)).cast("long")
-    )
+    return docs.withColumn("dsir_score", score.cast("long"))
 
 
 def dsir_threshold(
@@ -898,6 +903,11 @@ def dsir_select(
         return scored.filter(F.lit(False))
     if target_n >= n:
         return scored
+    # persist across the threshold's two bounded reads + the caller's final
+    # pass: the map-side scoring pass runs ONCE instead of three times
+    # (an in-query intermediate computed from the inputs, not a cross-run
+    # cache; O(docs) rows, spills to disk at scale)
+    scored = scored.persist()
     t, tie_hex = dsir_threshold(scored, target_n, bin_width=bin_width)
     prefix = F.substring(
         F.md5(F.concat(F.lit(DSIR_SALT), F.col(id_col).cast("string"))), 1, 8

@@ -304,7 +304,16 @@ def phash_near_dup_pairs(
     banded = phash_bands(images, id_col, phash_col, n_bands)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # hamming is computable INLINE from the joined phashes, so the exact
+    # filter runs inside the join's codegen BEFORE the dedup shuffle: the
+    # distinct sees only true near-dup rows (each <= n_bands times), not
+    # the full bucket-join candidate fan-out — at the 505k-image bench
+    # scale that is ~10^4 rows into the Exchange instead of ~4*10^9 (r7,
+    # guide §2.3 "aggregate before you shuffle")
+    hamming = F.bit_count(
+        F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -314,16 +323,10 @@ def phash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{phash_col}").alias("_pa"),
-            F.col(f"b.{phash_col}").alias("_pb"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -465,17 +468,20 @@ def incremental_phash_pairs(
         new_new = canonical(
             new_bands.alias("a").join(F.broadcast(new_bands.alias("b")), cond)
         )
-        cand = new_old.unionByName(new_new).distinct()
+        cand = new_old.unionByName(new_new)
     else:
         all_bands = old_bands.unionByName(new_bands)
         cand = canonical(
             new_bands.alias("a").join(all_bands.alias("b"), cond)
-        ).distinct()
+        )
+    # exact-filter BEFORE the dedup shuffle (see phash_near_dup_pairs):
+    # only true near-dup rows reach the distinct
     hamming = F.bit_count(F.col("_p1").bitwiseXOR(F.col("_p2"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -515,7 +521,9 @@ def phash_lookup(
         phash_col=phash_col,
         n_bands=n_bands,
     )
-    cand = (
+    # exact-filter BEFORE the dedup shuffle (see phash_near_dup_pairs):
+    # only true near-dup rows reach the distinct
+    out = (
         F.broadcast(qb.alias("q"))
         .join(
             store_bands.alias("s"),
@@ -525,17 +533,12 @@ def phash_lookup(
         .select(
             "q.query_id",
             f"s.{id_col}",
-            F.col(f"q.{phash_col}").alias("_qp"),
-            F.col(f"s.{phash_col}").alias("_sp"),
-        )
-        .distinct()
-    )
-    out = (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("_qp").bitwiseXOR(F.col("_sp"))).cast("int")
+            F.bit_count(
+                F.col(f"q.{phash_col}").bitwiseXOR(F.col(f"s.{phash_col}"))
+            ).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("query_id", id_col, "hamming")
+        .distinct()
     )
     if k is not None:
         w = Window.partitionBy("query_id").orderBy("hamming", id_col)

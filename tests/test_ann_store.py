@@ -140,7 +140,7 @@ def test_delete_then_append_keeps_serving_consistent(spark, embs, queries, tmp_p
     store.append(spark, rest)
     got = _res(store.search(spark, queries, k=5, nprobe=2))
     assert all(r[1] not in {0, 3} for r in got)
-    assert any(r[1] >= 400 for r in got) or True  # appended rows are candidates
+    assert any(r[1] >= 400 for r in got)  # appended rows are candidates
     # equivalence: full store minus victims
     ref = IvfIndexStore(str(tmp_path / "ivf_ref"))
     ref.build(spark, half, n_centroids=8)

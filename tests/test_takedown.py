@@ -90,12 +90,31 @@ def test_takedown_masks_sweeps_copies_and_survives_resume(spark, tmp_path):
     eng2.compact_takedowns()  # idempotent no-op
     assert eng2.images.read(spark).count() == n_raw - len(dead)
 
+    # resume AFTER compaction: the compaction recommits checkpoint.json,
+    # so rolling back must land on the compacted snapshot — not on an
+    # expired pre-compaction id that would destroy the landed table
+    # (ADVICE r6, the 93 -> 0 images reproduction)
+    eng3 = CrawlEngine.resume(spark, str(tmp_path / "eng"))
+    assert eng3.images.read(spark).count() == n_raw - len(dead)
+    assert sorted(
+        map(tuple, eng3.fetch_log().select("image_id", "url").collect())
+    ) == before
+
 
 def test_takedown_drops_nodes_from_incremental_cluster_labels(spark, tmp_path):
+    from collections import Counter
+
     eng = _eng(spark, tmp_path / "lab")
     eng.run(2)
     labels1 = eng.incremental_image_clusters(max_hamming=H)
-    some = labels1.limit(1).collect()[0]["node"]
+    # the victim is a multi-member component's REPRESENTATIVE (its min
+    # member id == the component id): surviving (live, victim) star edges
+    # would resurrect it as a labeled node without the result-side mask
+    # (ADVICE r6)
+    sizes = Counter(r["component"] for r in labels1.collect())
+    multi = [c for c, n in sizes.items() if n >= 2]
+    assert multi, "no multi-member component — representative victim untested"
+    some = min(multi)
     eng.takedown_images([some], find_copies=False)
     eng.run(1)
     labels2 = eng.incremental_image_clusters(max_hamming=H)
@@ -103,6 +122,17 @@ def test_takedown_drops_nodes_from_incremental_cluster_labels(spark, tmp_path):
     assert some not in nodes
     # every live image is labeled, nothing else
     assert nodes == {r["image_id"] for r in eng.images_df().collect()}
+
+    # compaction clears the tombstones AND remaps dead component ids to
+    # the min live member — the next clustering (nothing left to mask)
+    # must not resurrect the victim as a node
+    eng.compact_takedowns()
+    eng.run(1)
+    labels3 = eng.incremental_image_clusters(max_hamming=H)
+    nodes3 = {r["node"] for r in labels3.collect()}
+    assert some not in nodes3
+    assert nodes3 == {r["image_id"] for r in eng.images_df().collect()}
+    assert some not in {r["component"] for r in labels3.collect()}
 
 
 def test_takedown_by_url_and_host(spark, tmp_path):
