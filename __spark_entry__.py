@@ -2813,7 +2813,12 @@ def q_corpus_mix(spark, sf):
     temp = weighted_mix(d, trates).select(
         F.lit("temperature").alias("kind"), "doc_id", "source", "lang"
     )
-    dsir = dsir_select(d, d.filter(F.col("lang") == "en"), keep_frac=0.4).select(
+    # target = a predicate over the corpus itself -> one-pass conditional
+    # bucket aggregation inside dsir_scores (identical counts, half the
+    # gram passes — r7)
+    dsir = dsir_select(
+        d, None, keep_frac=0.4, target_filter=F.col("lang") == "en"
+    ).select(
         F.lit("dsir").alias("kind"), "doc_id", "source", "lang"
     )
     return fixed.unionByName(temp).unionByName(dsir)

@@ -42,6 +42,21 @@ class IvfIndexStore:
         self.centroids = SnapshotTable(f"{base_path}/centroids")
         self.assignments = SnapshotTable(f"{base_path}/assignments")
         self.tombstones = SnapshotTable(f"{base_path}/tombstones")
+        # collected codebook rows keyed by centroid snapshot id: the
+        # codebook is frozen between build()s, so append/search reuse one
+        # bounded read instead of re-collecting per call (r7)
+        self._cent_cache: tuple[str | None, list] | None = None
+
+    def _cent_rows(self, spark: SparkSession) -> list:
+        snap = self.centroids.current_snapshot
+        if self._cent_cache is None or self._cent_cache[0] != snap:
+            self._cent_cache = (
+                snap,
+                self.centroids.read(spark)
+                .select("centroid_id", "_c", "_nc")
+                .collect(),
+            )
+        return self._cent_cache[1]
 
     def _tombstone_ids(self, spark: SparkSession) -> DataFrame | None:
         # live chain only (since the last overwrite) — after compact()
@@ -109,8 +124,13 @@ class IvfIndexStore:
             if refine
             else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
         )
-        self.centroids.overwrite(cents, meta={"n_centroids": n_centroids})
-        assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col)
+        # one bounded codebook computation: collect, write the collected
+        # rows, seed the per-snapshot cache, assign from the same rows (r7)
+        rows = cents.collect()
+        local = spark.createDataFrame(rows, cents.schema)
+        self.centroids.overwrite(local, meta={"n_centroids": n_centroids})
+        self._cent_cache = (self.centroids.current_snapshot, rows)
+        assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col, cent_rows=rows)
         self.assignments.overwrite(
             assigned.withColumnRenamed(id_col, "vec_id"),
             meta={"stage": "build"},
@@ -127,7 +147,10 @@ class IvfIndexStore:
         """Assign a new batch against the frozen codebook; append to the
         partitioned store (no historical recompute)."""
         cents = self.centroids.read(spark)
-        assigned = ivf_assign(new_embeddings, cents, 1, vec_col, id_col)
+        assigned = ivf_assign(
+            new_embeddings, cents, 1, vec_col, id_col,
+            cent_rows=self._cent_rows(spark),
+        )
         self.assignments.append(
             assigned.withColumnRenamed(id_col, "vec_id"),
             meta={"stage": "append"},
@@ -148,7 +171,10 @@ class IvfIndexStore:
         q = queries.select(
             F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
         )
-        q_df = ivf_assign(q, cents, nprobe, "embedding", "vec_id").select(
+        q_df = ivf_assign(
+            q, cents, nprobe, "embedding", "vec_id",
+            cent_rows=self._cent_rows(spark),
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("_v").alias("_q"),
             F.col("_nv").alias("_nq"),

@@ -37,13 +37,15 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    # localCheckpoint (not persist): iteration must TRUNCATE lineage, or the
-    # logical plan doubles every round and the driver dies on plan analysis
-    # long before data size matters
-    # lazy: the first round's convergence count materializes both (and
-    # truncates their lineage) inside its own job — no standalone
-    # checkpoint jobs up front (r7)
-    sym = sym.localCheckpoint(eager=False)
+    # pre-partition the (static) edge table by the per-round join key so
+    # the loop never re-shuffles it (guide §2.4: establish the
+    # partitioning once — the edge table is the BIG side at scale).
+    # localCheckpoint (not persist): iteration must TRUNCATE lineage, or
+    # the logical plan doubles every round and the driver dies on plan
+    # analysis long before data size matters. Lazy (eager=False): the
+    # first round's convergence count materializes it inside its own job
+    # — no standalone checkpoint jobs up front (r7).
+    sym = sym.repartition(F.col("b")).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -52,23 +54,25 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # (a) neighborhood min: label <- min(label, labels of neighbors)
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"), "b")
-            .groupBy("a")
-            .agg(F.min("nl").alias("nbr_label"))
-            .withColumnRenamed("a", "node")
+        # (a) neighborhood min, FUSED with the own-label carry (r7): the
+        # node's own label rides the same union-aggregate (flagged __own)
+        # that takes the neighborhood min, so one uniform-key agg replaces
+        # the old join-then-left-join pair, and the previous label (_old)
+        # falls out of the same agg for the convergence check below.
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "b").withColumnRenamed("label", "nl"), "b"
+        ).select(
+            F.col("a").alias("node"),
+            F.col("nl").alias("label"),
+            F.lit(False).alias("__own"),
         )
-        # the PREVIOUS label rides along as _old so convergence is a
-        # map-side filter over the checkpointed result — the old
-        # join-doubled-with-labels change count was one extra shuffle
-        # join + job per round (r7)
         stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("_old"),
             )
         )
         # (b) pointer doubling: label <- label's label

@@ -769,11 +769,12 @@ def dsir_lr_table(
 
 def dsir_scores(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
     scale: int = DSIR_SCALE,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """``docs`` + an integer ``dsir_score`` column: the DSIR importance
     weight log(p_target(x)/p_raw(x)) under hashed uni+bigram bag models,
@@ -791,7 +792,14 @@ def dsir_scores(
     the scoring pass at any corpus size. Grams whose bucket never occurs
     in the raw corpus contribute 0, exactly like the old inner join;
     gram-less docs sum an empty array to 0, exactly like the old
-    left-join coalesce."""
+    left-join coalesce.
+
+    ``target_filter`` (r7): when the target set is a predicate over
+    ``docs`` itself (the common in-corpus case), pass the predicate
+    instead of a ``target`` frame — BOTH bucket tables then come from ONE
+    conditional aggregation over a single gram pass (count(*) for raw,
+    sum(flag) for target), halving the count-side work with identical
+    counts."""
 
     def _bucket_counts(df: DataFrame) -> dict[int, int]:
         return {
@@ -807,8 +815,22 @@ def dsir_scores(
             )
         }
 
-    raw_c = _bucket_counts(docs)
-    tgt_c = _bucket_counts(target)
+    if target_filter is not None:
+        rows = (
+            docs.select(
+                F.explode(unigram_bigram_col(F.col(text_col))).alias("g"),
+                F.when(target_filter, F.lit(1)).otherwise(F.lit(0)).alias("__t"),
+            )
+            .select(tfidf_bucket_col(F.col("g"), n_buckets).alias("bucket"), "__t")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"), F.sum("__t").alias("nt"))
+            .collect()
+        )
+        raw_c = {r["bucket"]: r["n"] for r in rows}
+        tgt_c = {r["bucket"]: int(r["nt"]) for r in rows if r["nt"]}
+    else:
+        raw_c = _bucket_counts(docs)
+        tgt_c = _bucket_counts(target)
     lr_map = dict(dsir_lr_table(tgt_c, raw_c, n_buckets, scale))
     lr_arr = F.lit([int(lr_map.get(b, 0)) for b in range(n_buckets)])
     score = F.aggregate(
@@ -877,13 +899,14 @@ def dsir_threshold(
 
 def dsir_select(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     keep_frac: float,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
     scale: int = DSIR_SCALE,
     bin_width: int = DSIR_BIN,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023) in its deterministic top-k
     form: keep the ``int(round(keep_frac * n))`` documents whose hashed
@@ -898,7 +921,10 @@ def dsir_select(
     src/crawler.py:172-244); north-rule training-data extension."""
     n = docs.count()
     target_n = int(round(keep_frac * n))
-    scored = dsir_scores(docs, target, text_col, id_col, n_buckets, scale)
+    scored = dsir_scores(
+        docs, target, text_col, id_col, n_buckets, scale,
+        target_filter=target_filter,
+    )
     if target_n <= 0:
         return scored.filter(F.lit(False))
     if target_n >= n:

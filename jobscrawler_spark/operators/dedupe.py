@@ -451,22 +451,24 @@ def embedding_sign_bands(
     bucket populations ~n/2^band_bits under uniform signs, and multiple
     bands restore the recall a single wide bucket loses (a near-dup pair
     only needs to agree on ALL signs of ONE band)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat(
-                    *[
-                        F.when(
-                            F.element_at(F.col(vec_col), i * band_bits + j + 1) > 0,
-                            F.lit("1"),
-                        ).otherwise(F.lit("0"))
-                        for j in range(band_bits)
-                    ]
-                ).alias("band_key"),
-            )
-            for i in range(n_bands)
-        ]
+    # transform over a sequence instead of n_bands x band_bits explicit
+    # column objects: same per-element expression, ~100x fewer py4j round
+    # trips of driver-side plan construction (r7)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(band_bits)),
+                    lambda j: F.when(
+                        F.element_at(F.col(vec_col), i * band_bits + j) > 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0")),
+                ),
+            ).alias("band_key"),
+        ),
     )
     return embeddings.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band", "b.band_key"
@@ -645,7 +647,13 @@ def semantic_dedup(
     # (min id). One shuffle keyed on the vector value; multiplicity rides
     # along for free if a caller wants it.
     wv = Window.partitionBy("_v")
-    members = scored.withColumn("_rep", F.min(F.col(id_col)).over(wv))
+    # the exact-group window output feeds star edges, reps, AND the final
+    # labeling — checkpoint (lazily) so the assignment + window run once,
+    # not once per consumer (r7); O(corpus) rows, the same width the
+    # window already shuffled
+    members = scored.withColumn(
+        "_rep", F.min(F.col(id_col)).over(wv)
+    ).localCheckpoint(eager=False)
     star = members.filter(F.col(id_col) != F.col("_rep")).select(
         F.col("_rep").alias("vec_a"),
         F.col(id_col).alias("vec_b"),
@@ -888,7 +896,9 @@ def crossmodal_dup_clusters(
     px_edges, px_deg = phash_dup_graph(
         images, max_hamming=max_hamming, id_col=id_col, phash_col=phash_col
     )
-    px_edges = px_edges.localCheckpoint()
+    # lazy checkpoints (r7): the CC loop's first-round job materializes
+    # both edge sets — no standalone checkpoint jobs, same truncation
+    px_edges = px_edges.localCheckpoint(eager=False)
     cap = (
         minhash_lsh_pairs(
             images.select(
@@ -900,7 +910,7 @@ def crossmodal_dup_clusters(
             band_df_cap=band_df_cap,
         )
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = px_edges.unionByName(cap).distinct()
     labeled = label_clusters(images, edges, id_col)

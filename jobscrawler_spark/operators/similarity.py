@@ -106,7 +106,8 @@ _LITERAL_CODEBOOK_MAX_CELLS = 262_144
 
 
 def ivf_assign(vectors: DataFrame, cents: DataFrame, nprobe: int = 1,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               cent_rows: list | None = None) -> DataFrame:
     """Assign each vector to its ``nprobe`` argmax-cosine centroids (ties ->
     lowest centroid id). Returns (id, _v, _nv, centroid_id), one row per
     probed centroid; data vectors use nprobe=1, query-side multi-probe
@@ -125,25 +126,34 @@ def ivf_assign(vectors: DataFrame, cents: DataFrame, nprobe: int = 1,
     base = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
     )
+    # callers that assign several frames against the SAME codebook pass
+    # cent_rows (the collected centroid rows) so the bounded codebook
+    # read runs once per codebook, not once per assignment (r7)
     rows = sorted(
-        cents.select("centroid_id", "_c", "_nc").collect(),
+        cent_rows
+        if cent_rows is not None
+        else cents.select("centroid_id", "_c", "_nc").collect(),
         key=lambda r: r["centroid_id"],
     )
     if rows and len(rows) * len(rows[0]["_c"]) <= _LITERAL_CODEBOOK_MAX_CELLS:
-        cb = F.array(*[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["_c"]]).alias("c"),
-                F.lit(float(r["_nc"])).alias("nc"),
-            )
-            for r in rows
-        ])
+        # THREE nested-array literals instead of per-cell F.lit calls: the
+        # old per-struct/per-component construction was ~(cells) py4j
+        # round trips of driver time PER ivf_assign call (~2 s at 8x32);
+        # a single nested literal is one call, and the per-row expression
+        # (element_at + the same _dot/round arithmetic in the same
+        # centroid order) is unchanged (r7)
+        cvec = F.lit([[float(x) for x in r["_c"]] for r in rows])
+        cnc = F.lit([float(r["_nc"]) for r in rows])
+        ccid = F.lit([int(r["centroid_id"]) for r in rows]).cast("array<int>")
         scored = F.transform(
-            cb,
-            lambda c: F.struct(
-                (-F.round(_dot(F.col("_v"), c["c"]) / (F.col("_nv") * c["nc"]), 6)
-                 ).alias("negsim"),
-                c["cid"].alias("cid"),
+            F.sequence(F.lit(1), F.lit(len(rows))),
+            lambda i: F.struct(
+                (-F.round(
+                    _dot(F.col("_v"), F.element_at(cvec, i))
+                    / (F.col("_nv") * F.element_at(cnc, i)),
+                    6,
+                )).alias("negsim"),
+                F.element_at(ccid, i).alias("cid"),
             ),
         )
         probes = F.slice(F.array_sort(scored), 1, nprobe)
@@ -229,11 +239,15 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
     )
-    assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col)
+    # one bounded codebook read feeds both assignments (r7)
+    cent_rows = cents.select("centroid_id", "_c", "_nc").collect()
+    assigned = ivf_assign(embeddings, cents, 1, vec_col, id_col, cent_rows=cent_rows)
     q = queries.select(
         F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col)
     )
-    q_assigned = ivf_assign(q, cents, nprobe, vec_col, id_col).select(
+    q_assigned = ivf_assign(
+        q, cents, nprobe, vec_col, id_col, cent_rows=cent_rows
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_q"),
         F.col("_nv").alias("_nq"),
@@ -300,34 +314,95 @@ def phash_near_dup_pairs(
     for ``max_hamming <= n_bands - 1`` (the default 7 with 8 bands) —
     never an all-pairs cross join. At 10^10 images the band bucket is a
     uniform 8-bit + band-idx key: one shuffle, bounded buckets.
+
+    The LSH self-join runs over DISTINCT PHASH VALUES, not id rows (r7 —
+    phash_dup_graph's exact-first collapse applied to the pair
+    enumerator itself): candidate rows inside the join are three longs
+    instead of two string ids, which is what the bucket fan-out
+    actually pays for (at the 505k-random-hash bench scale the join
+    enumerates ~4e9 in-codegen candidates — string ids made each one
+    ~4x wider), and a value re-used by m images never enumerates inside
+    the LSH at all. The id-level pair set — identical to the old output,
+    including hamming-0 pairs within an exact-dup group — is
+    reconstructed by joins that are linear in the OUTPUT size.
     """
-    banded = phash_bands(images, id_col, phash_col, n_bands)
+    ids = images.select(F.col(id_col), F.col(phash_col))
+    vals = ids.select(phash_col).distinct()
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col(phash_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = vals.select(F.col(phash_col), F.explode(bands).alias("b")).select(
+        phash_col, "b.band_idx", "b.band_val"
+    )
+    # EXPLICIT partition count on the self-join key: the banded table is
+    # a few narrow MB per million values, so AQE (which sizes partitions
+    # by INPUT bytes, blind to the bucket join's output explosion) would
+    # coalesce the probe side to a handful of partitions — measured 6/32
+    # cores busy on the 505k-hash bench. An explicit N pins the join's
+    # parallelism to the configured shuffle width (scale-adaptive via
+    # conf, uniform keys by construction) and both join sides reuse the
+    # one exchange.
+    n_part = int(
+        images.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    banded = banded.repartition(n_part, "band_idx", "band_val")
     a = banded.alias("a")
     b = banded.alias("b")
-    # hamming is computable INLINE from the joined phashes, so the exact
-    # filter runs inside the join's codegen BEFORE the dedup shuffle: the
-    # distinct sees only true near-dup rows (each <= n_bands times), not
-    # the full bucket-join candidate fan-out — at the 505k-image bench
-    # scale that is ~10^4 rows into the Exchange instead of ~4*10^9 (r7,
-    # guide §2.3 "aggregate before you shuffle")
     hamming = F.bit_count(
         F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
     ).cast("int")
-    return (
+    # the exact filter runs inline in the join's codegen; only true
+    # near-dup value pairs (each <= n_bands times) reach the distinct
+    val_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{phash_col}") < F.col(f"b.{phash_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{phash_col}").alias("_pa"),
+            F.col(f"b.{phash_col}").alias("_pb"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    cross = (
+        val_pairs.join(ids.select(F.col(id_col).alias("__ia"), F.col(phash_col).alias("_pa")), "_pa")
+        .join(ids.select(F.col(id_col).alias("__ib"), F.col(phash_col).alias("_pb")), "_pb")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col(f"a.{phash_col}") == F.col(f"b.{phash_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    if max_hamming < 0:
+        return cross.filter(F.lit(False))
+    return cross.unionByName(same)
 
 
 def phash_dup_graph(
@@ -367,7 +442,9 @@ def phash_dup_graph(
     stats = (
         images.groupBy(phash_col)
         .agg(F.count("*").alias("_m"), F.min(id_col).alias("_rep"))
-        .localCheckpoint()  # consumed by star edges, rep mapping, degrees
+        # consumed by star edges, rep mapping, degrees; lazy — the first
+        # consumer's job materializes it, no standalone checkpoint job (r7)
+        .localCheckpoint(eager=False)
     )
     rep_pairs = (
         phash_near_dup_pairs(
@@ -378,7 +455,7 @@ def phash_dup_graph(
             n_bands=n_bands,
         )
         .select(F.col("id_a").alias("_pa"), F.col("id_b").alias("_pb"))
-        .localCheckpoint()  # consumed by near edges AND near-mass degrees
+        .localCheckpoint(eager=False)  # consumed by near edges AND near-mass degrees
     )
     star = (
         images.join(stats.select(phash_col, "_rep"), phash_col)
@@ -461,24 +538,70 @@ def incremental_phash_pairs(
         & (F.col("a.band_val") == F.col("b.band_val"))
         & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
     )
+    hamming01 = F.bit_count(F.col("_p1").bitwiseXOR(F.col("_p2"))).cast("int")
     if broadcast_new:
-        new_old = canonical(
-            F.broadcast(new_bands.alias("a")).join(old_bands.alias("b"), cond)
+        # VALUE-LEVEL probe of the store (r7, the phash_near_dup_pairs
+        # collapse applied to the serving path): the store pass that pays
+        # the band fan-out carries only (phash, band_idx, band_val) longs
+        # — the id column is pruned at the store scan — and the exact
+        # hamming filter runs inline, so only true near-dup VALUE pairs
+        # survive. Ids re-attach from a second, column-pruned store pass
+        # joined to the (tiny) surviving value set; that join is bounded
+        # by the output, never the fan-out.
+        new_vals = (
+            new_bands.select(
+                F.col(phash_col).alias("_qp"), "band_idx", "band_val"
+            ).distinct()
         )
-        new_new = canonical(
-            new_bands.alias("a").join(F.broadcast(new_bands.alias("b")), cond)
+        cand_vals = (
+            F.broadcast(new_vals)
+            .join(
+                old_bands.select(
+                    F.col(phash_col).alias("_sp"), "band_idx", "band_val"
+                ),
+                ["band_idx", "band_val"],
+            )
+            .select(
+                "_qp",
+                "_sp",
+                F.bit_count(F.col("_qp").bitwiseXOR(F.col("_sp")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
-        cand = new_old.unionByName(new_new)
-    else:
-        all_bands = old_bands.unionByName(new_bands)
-        cand = canonical(
-            new_bands.alias("a").join(all_bands.alias("b"), cond)
+        new_ids = new_bands.select(
+            F.col(id_col).alias("__na"), F.col(phash_col).alias("_qp")
+        ).distinct()
+        old_ids = old_bands.select(
+            F.col(id_col).alias("__nb"), F.col(phash_col).alias("_sp")
         )
+        new_old = (
+            cand_vals.join(F.broadcast(new_ids), "_qp")
+            .join(old_ids, "_sp")
+            .filter(F.col("__na") != F.col("__nb"))
+            .select(
+                F.least("__na", "__nb").alias("id_a"),
+                F.greatest("__na", "__nb").alias("id_b"),
+                "hamming",
+            )
+        )
+        new_new = (
+            canonical(
+                new_bands.alias("a").join(F.broadcast(new_bands.alias("b")), cond)
+            )
+            .withColumn("hamming", hamming01)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+        return new_old.unionByName(new_new).distinct()
+    all_bands = old_bands.unionByName(new_bands)
+    cand = canonical(new_bands.alias("a").join(all_bands.alias("b"), cond))
     # exact-filter BEFORE the dedup shuffle (see phash_near_dup_pairs):
     # only true near-dup rows reach the distinct
-    hamming = F.bit_count(F.col("_p1").bitwiseXOR(F.col("_p2"))).cast("int")
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming01)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
