@@ -58,6 +58,36 @@ def _small_shuffle(spark: SparkSession, n: str = "4"):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _overlap(*builders: Callable[[], DataFrame]) -> list[DataFrame]:
+    """Materialize independent kind subtrees CONCURRENTLY (optimization
+    guide §2.6 "overlap independent jobs"): under one sequential count a
+    union gate's stages run one after another and its wall is the SUM of
+    its kinds; building + counting each kind from a small driver thread
+    pool lets one kind's stage tail back-fill the cores another leaves
+    idle, so the wall approaches the MAX. Each subtree is lazily
+    localCheckpoint-ed, the thread's count is its one materialization,
+    and the returned frames read the stored blocks — identical rows,
+    identical oracle; only the job submission overlaps. These are
+    in-query intermediates computed inside the timed region (the
+    dsir-persist pattern), not cross-run caching; the stored blocks are
+    O(kind output), the same rows the union must hold anyway."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _run(build: Callable[[], DataFrame]) -> DataFrame:
+        df = build().localCheckpoint(eager=False)
+        df.count()
+        return df
+
+    if len(builders) == 1:
+        return [_run(builders[0])]
+    session = SparkSession.getActiveSession()
+    wrap = inheritable_thread_target(session) if session else inheritable_thread_target
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        return list(pool.map(wrap(_run), builders))
+
+
 # ---------------------------------------------------------------------------
 # flagship: one crawl round end-to-end on seeds derived from sf0.001
 # ---------------------------------------------------------------------------
@@ -177,28 +207,33 @@ def q_gram_frequency(spark, sf):
         ),
         lambda x: x.isNotNull(),
     )
-    bi = (
-        d.select(F.explode(bigrams).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 20)
-        .select(F.lit("bigram").alias("kind"), "gram", "n")
-    )
-    tok = (
-        d.select(F.explode(T.tokens_col(F.col("text"))).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 50)
-        .select(F.lit("token").alias("kind"), "gram", "n")
-    )
     from jobscrawler_spark.operators.corpus import tfidf_keywords
 
-    kw = tfidf_keywords(d).select(
-        F.lit("tfidf").alias("kind"),
-        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("token")).alias(
-            "gram"
+    # §2.6: the three kinds are independent — overlap them (the explodes
+    # themselves are too light to pay for a fan_out repartition)
+    ds = d
+    bi, tok, kw = _overlap(
+        lambda: (
+            ds.select(F.explode(bigrams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 20)
+            .select(F.lit("bigram").alias("kind"), "gram", "n")
         ),
-        F.col("score").alias("n"),
+        lambda: (
+            ds.select(F.explode(T.tokens_col(F.col("text"))).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 50)
+            .select(F.lit("token").alias("kind"), "gram", "n")
+        ),
+        lambda: tfidf_keywords(d).select(
+            F.lit("tfidf").alias("kind"),
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("token")
+            ).alias("gram"),
+            F.col("score").alias("n"),
+        ),
     )
     return bi.unionByName(tok).unionByName(kw)
 
@@ -2273,39 +2308,46 @@ def q_dedup_minhash_lsh(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
     neg1 = F.lit(-1).cast("long")
     pairs = D.minhash_lsh_pairs(d, n_perm=8, band_size=2, k=3)
-    batch = pairs.select(
-        F.lit("batch").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
-    )
     old_bands = D.minhash_bands(d.filter(F.col("doc_id") < 100))
     new_bands = D.minhash_bands(d.filter(F.col("doc_id") >= 100))
-    incr = D.incremental_minhash_pairs(new_bands, old_bands).select(
-        F.lit("incremental").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
-    )
     probes = d.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
-    )
-    ver = D.verify_candidate_pairs(
-        d, pairs.unionByName(probes).distinct()
-    ).select(
-        F.when(F.col("jacc_e6") >= 500000, F.lit("verified"))
-        .otherwise(F.lit("rejected"))
-        .alias("kind"),
-        "doc_a",
-        "doc_b",
-        "jacc_e6",
     )
     # 'lookup' (r6): QUERY-side serving probe (dedupe.minhash_lookup,
     # text sibling of phash_lookup) — the new docs probe the persisted
     # store bands of docs < 100 with exact-Jaccard verification attached;
     # the oracle re-states it as the one-shot (old, new) band pairs
-    # carrying their verified jacc (query id as doc_a)
-    look = D.minhash_lookup(
-        d.filter(F.col("doc_id") >= 100), old_bands, verify_with=d
-    ).select(
-        F.lit("lookup").alias("kind"),
-        F.col("query_id").alias("doc_a"),
-        F.col("doc_id").alias("doc_b"),
-        "jacc_e6",
+    # carrying their verified jacc (query id as doc_a).
+    # The four kinds are independent subtrees — materialized concurrently
+    # (guide §2.6; _overlap), wall = slowest kind instead of the sum.
+    batch, incr, look, ver = _overlap(
+        lambda: pairs.select(
+            F.lit("batch").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
+        ),
+        lambda: D.incremental_minhash_pairs(new_bands, old_bands).select(
+            F.lit("incremental").alias("kind"),
+            "doc_a",
+            "doc_b",
+            neg1.alias("jacc_e6"),
+        ),
+        lambda: D.minhash_lookup(
+            d.filter(F.col("doc_id") >= 100), old_bands, verify_with=d
+        ).select(
+            F.lit("lookup").alias("kind"),
+            F.col("query_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            "jacc_e6",
+        ),
+        lambda: D.verify_candidate_pairs(
+            d, pairs.unionByName(probes).distinct()
+        ).select(
+            F.when(F.col("jacc_e6") >= 500000, F.lit("verified"))
+            .otherwise(F.lit("rejected"))
+            .alias("kind"),
+            "doc_a",
+            "doc_b",
+            "jacc_e6",
+        ),
     )
     return batch.unionByName(incr).unionByName(look).unionByName(ver)
 
@@ -2336,23 +2378,35 @@ def q_dedup_embedding_cosine(spark, sf):
     keep/drop decision itself driver-visible. Four candidate generators,
     one pair semantics."""
     e = _t(spark, sf, "embeddings")
-    single = D.embedding_cosine_pairs(e, threshold=0.5, n_bits=4).select(
-        F.lit("single").alias("kind"), "vec_a", "vec_b", "cosine"
+
+    def _semantic_kinds() -> DataFrame:
+        # pairs + drops share one semantic_dedup (its members frame is
+        # lazily checkpointed inside), so they build in ONE thread
+        sem_pairs, sem_members = D.semantic_dedup(spark, e, n_clusters=8, eps=0.5)
+        semantic = sem_pairs.select(
+            F.lit("semantic").alias("kind"), "vec_a", "vec_b", "cosine"
+        )
+        drops = sem_members.filter(~F.col("is_survivor")).select(
+            F.lit("semantic_drop").alias("kind"),
+            F.col("survivor_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("cent_cos").alias("cosine"),
+        )
+        return semantic.unionByName(drops)
+
+    # three independent candidate generators — the SemDeDup chain (its
+    # k-means + CC rounds are driver-sequenced jobs) overlaps the two
+    # LSH self-joins instead of following them (guide §2.6; _overlap)
+    single, banded, sem = _overlap(
+        lambda: D.embedding_cosine_pairs(e, threshold=0.5, n_bits=4).select(
+            F.lit("single").alias("kind"), "vec_a", "vec_b", "cosine"
+        ),
+        lambda: D.embedding_cosine_pairs(
+            e, threshold=0.5, n_bands=4, band_bits=16, band_pop_cap=64
+        ).select(F.lit("banded").alias("kind"), "vec_a", "vec_b", "cosine"),
+        _semantic_kinds,
     )
-    banded = D.embedding_cosine_pairs(
-        e, threshold=0.5, n_bands=4, band_bits=16, band_pop_cap=64
-    ).select(F.lit("banded").alias("kind"), "vec_a", "vec_b", "cosine")
-    sem_pairs, sem_members = D.semantic_dedup(spark, e, n_clusters=8, eps=0.5)
-    semantic = sem_pairs.select(
-        F.lit("semantic").alias("kind"), "vec_a", "vec_b", "cosine"
-    )
-    drops = sem_members.filter(~F.col("is_survivor")).select(
-        F.lit("semantic_drop").alias("kind"),
-        F.col("survivor_id").alias("vec_a"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("cent_cos").alias("cosine"),
-    )
-    return single.unionByName(banded).unionByName(semantic).unionByName(drops)
+    return single.unionByName(banded).unionByName(sem)
 
 
 def q_j_shuffle_join(spark, sf):
@@ -2378,40 +2432,55 @@ def q_ann_topk(spark, sf):
     same shape as dedup_embedding_cosine's and its unit tests remain."""
     e = _t(spark, sf, "embeddings")
     q = _queries_df(spark, sf)
-    brute = SIM.cosine_topk(e, q, k=5).select(
-        F.lit("brute").alias("method"), "query_id", "vec_id", "sim", "rank"
-    )
-    ivf = SIM.ivf_topk(e, q, k=5, n_centroids=8, nprobe=2).select(
-        F.lit("ivf").alias("method"), "query_id", "vec_id", "sim", "rank"
-    )
+
     # 'store' kind (merged r6, VERDICT r5 #8): the SERVING path — a
     # persisted IvfIndexStore built on the same corpus, searched with the
     # same queries/nprobe. Store-served == one-shot ivf_topk by
     # construction (frozen codebook, append-order-invariant assignments;
     # pinned in test_ann_store), so the oracle re-states the ivf SQL with
     # method='store' — and the driver now records the serving path.
-    from jobscrawler_spark.operators.ann_store import IvfIndexStore
+    def _store_kinds() -> DataFrame:
+        # internally sequential by contract (build -> serve -> tombstone
+        # -> serve again); 'served' rows are collected BEFORE the delete
+        # and both result sets are detached from the tmp store files
+        from jobscrawler_spark.operators.ann_store import IvfIndexStore
 
-    base = tempfile.mkdtemp(prefix="q_ann_store_")
-    try:
-        store = IvfIndexStore(base)
-        store.build(spark, e, n_centroids=8)
-        served = store.search(spark, q, k=5, nprobe=2).select(
-            F.lit("store").alias("method"), "query_id", "vec_id", "sim", "rank"
-        )
-        # 'store_del' (r6): TAKEDOWN — tombstone vec_ids 0 and 3 (both
-        # rank-1 self-matches in the baseline) and serve again; deleted
-        # ids must vanish and ranks close up, with the codebook frozen
-        served = spark.createDataFrame(served.collect(), served.schema)
-        store.delete(spark, [0, 3])
-        deleted = store.search(spark, q, k=5, nprobe=2).select(
-            F.lit("store_del").alias("method"), "query_id", "vec_id", "sim", "rank"
-        )
-        out = brute.unionByName(ivf).unionByName(deleted)
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
-        return out.unionByName(served)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        base = tempfile.mkdtemp(prefix="q_ann_store_")
+        try:
+            store = IvfIndexStore(base)
+            store.build(spark, e, n_centroids=8)
+            served = store.search(spark, q, k=5, nprobe=2).select(
+                F.lit("store").alias("method"), "query_id", "vec_id", "sim", "rank"
+            )
+            # 'store_del' (r6): TAKEDOWN — tombstone vec_ids 0 and 3 (both
+            # rank-1 self-matches in the baseline) and serve again; deleted
+            # ids must vanish and ranks close up, with the codebook frozen
+            served = spark.createDataFrame(served.collect(), served.schema)
+            store.delete(spark, [0, 3])
+            deleted = store.search(spark, q, k=5, nprobe=2).select(
+                F.lit("store_del").alias("method"),
+                "query_id",
+                "vec_id",
+                "sim",
+                "rank",
+            )
+            deleted = spark.createDataFrame(deleted.collect(), deleted.schema)
+            return served.unionByName(deleted)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    # brute / ivf / store chains are independent — the store's sequential
+    # snapshot I/O overlaps the two scan-side top-k jobs (guide §2.6)
+    brute, ivf, stored = _overlap(
+        lambda: SIM.cosine_topk(e, q, k=5).select(
+            F.lit("brute").alias("method"), "query_id", "vec_id", "sim", "rank"
+        ),
+        lambda: SIM.ivf_topk(e, q, k=5, n_centroids=8, nprobe=2).select(
+            F.lit("ivf").alias("method"), "query_id", "vec_id", "sim", "rank"
+        ),
+        _store_kinds,
+    )
+    return brute.unionByName(ivf).unionByName(stored)
 
 
 def q_ann_ivf_kmeans(spark, sf):
@@ -2554,33 +2623,43 @@ def q_image_phash_neardup(spark, sf):
         F.lit(None).cast("boolean").alias("verified"),
     ]
     imgs = _phash_fixture_df(spark)
-    batch = phash_near_dup_pairs(imgs).select(
-        F.lit("batch").alias("kind"), "id_a", "id_b", "hamming", *nosad
-    )
     old_b = phash_bands(imgs.filter(~F.col("image_id").endswith("~v")))
     new_b = phash_bands(imgs.filter(F.col("image_id").endswith("~v")))
-    incr = incremental_phash_pairs(new_b, old_b).select(
-        F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming", *nosad
-    )
-    # 'lookup' (r6): query-side serving probe — the 1-bit variants query
-    # the BASE images' persisted bands (similarity.phash_lookup, broadcast
-    # probe, no store re-band); banded == exact all-pairs at hamming<=7 by
-    # pigeonhole, which is precisely what the oracle re-states
-    look = phash_lookup(
-        imgs.filter(F.col("image_id").endswith("~v")), old_b
-    ).select(
-        F.lit("lookup").alias("kind"),
-        F.col("query_id").alias("id_a"),
-        F.col("image_id").alias("id_b"),
-        "hamming",
-        *nosad,
-    )
     vf = spark.createDataFrame(
         gen_verify_images(48),
         "image_id string, bytes binary, w int, h int, fmt string, phash long",
     )
-    ver = verify_near_dup_pairs(phash_near_dup_pairs(vf), vf).select(
-        F.lit("verified").alias("kind"), "id_a", "id_b", "hamming", "sad", "verified"
+    # the four kinds are independent subtrees — materialize them from a
+    # driver thread pool (guide §2.6; _overlap) so the gate's wall is the
+    # slowest kind, not the sum of all four.
+    # 'lookup' (r6): query-side serving probe — the 1-bit variants query
+    # the BASE images' persisted bands (similarity.phash_lookup, broadcast
+    # probe, no store re-band); banded == exact all-pairs at hamming<=7 by
+    # pigeonhole, which is precisely what the oracle re-states
+    batch, incr, look, ver = _overlap(
+        lambda: phash_near_dup_pairs(imgs).select(
+            F.lit("batch").alias("kind"), "id_a", "id_b", "hamming", *nosad
+        ),
+        lambda: incremental_phash_pairs(new_b, old_b).select(
+            F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming", *nosad
+        ),
+        lambda: phash_lookup(
+            imgs.filter(F.col("image_id").endswith("~v")), old_b
+        ).select(
+            F.lit("lookup").alias("kind"),
+            F.col("query_id").alias("id_a"),
+            F.col("image_id").alias("id_b"),
+            "hamming",
+            *nosad,
+        ),
+        lambda: verify_near_dup_pairs(phash_near_dup_pairs(vf), vf).select(
+            F.lit("verified").alias("kind"),
+            "id_a",
+            "id_b",
+            "hamming",
+            "sad",
+            "verified",
+        ),
     )
     return batch.unionByName(incr).unionByName(look).unionByName(ver)
 
@@ -2655,16 +2734,23 @@ def q_decontaminate_ngram(spark, sf):
         F.col("doc_id").alias("bench_id"),
         T.truncate_tokens(F.col("text"), 24).alias("text"),
     )
-    batch = decontaminate_ngram(d, bench, n=8, min_shared=1).select(
-        F.lit("batch").alias("kind"), "doc_id", "bench_id", "n_shared_grams"
-    )
-    incr = incremental_decontaminate(
-        bench.filter(F.pmod(F.col("bench_id"), F.lit(100)) == 50),
-        corpus_gram_table(d, n=8),
-        n=8,
-        min_shared=1,
-    ).select(
-        F.lit("incremental").alias("kind"), "doc_id", "bench_id", "n_shared_grams"
+    # both kinds re-explode the corpus gram side independently —
+    # materialize them concurrently (guide §2.6; _overlap)
+    batch, incr = _overlap(
+        lambda: decontaminate_ngram(d, bench, n=8, min_shared=1).select(
+            F.lit("batch").alias("kind"), "doc_id", "bench_id", "n_shared_grams"
+        ),
+        lambda: incremental_decontaminate(
+            bench.filter(F.pmod(F.col("bench_id"), F.lit(100)) == 50),
+            corpus_gram_table(d, n=8),
+            n=8,
+            min_shared=1,
+        ).select(
+            F.lit("incremental").alias("kind"),
+            "doc_id",
+            "bench_id",
+            "n_shared_grams",
+        ),
     )
     return batch.unionByName(incr)
 
@@ -2804,22 +2890,25 @@ def q_corpus_mix(spark, sf):
         [(s, mix_threshold_hex(((len(s) % 3) + 1) * 0.25)) for s in sorted(counts)],
         "source string, threshold_hex string",
     )
-    fixed = weighted_mix(d, rates).select(
-        F.lit("weighted").alias("kind"), "doc_id", "source", "lang"
-    )
     trates = spark.createDataFrame(
         temperature_thresholds(counts), "source string, threshold_hex string"
     )
-    temp = weighted_mix(d, trates).select(
-        F.lit("temperature").alias("kind"), "doc_id", "source", "lang"
-    )
-    # target = a predicate over the corpus itself -> one-pass conditional
-    # bucket aggregation inside dsir_scores (identical counts, half the
-    # gram passes — r7)
-    dsir = dsir_select(
-        d, None, keep_frac=0.4, target_filter=F.col("lang") == "en"
-    ).select(
-        F.lit("dsir").alias("kind"), "doc_id", "source", "lang"
+    # the three kinds are independent — the DSIR chain (bucket-count
+    # collect, threshold reads, final pass) overlaps the two map-side
+    # md5-threshold mixes instead of following them (guide §2.6;
+    # _overlap). target = a predicate over the corpus itself -> one-pass
+    # conditional bucket aggregation inside dsir_scores (identical
+    # counts, half the gram passes — r7)
+    fixed, temp, dsir = _overlap(
+        lambda: weighted_mix(d, rates).select(
+            F.lit("weighted").alias("kind"), "doc_id", "source", "lang"
+        ),
+        lambda: weighted_mix(d, trates).select(
+            F.lit("temperature").alias("kind"), "doc_id", "source", "lang"
+        ),
+        lambda: dsir_select(
+            d, None, keep_frac=0.4, target_filter=F.col("lang") == "en"
+        ).select(F.lit("dsir").alias("kind"), "doc_id", "source", "lang"),
     )
     return fixed.unionByName(temp).unionByName(dsir)
 
@@ -2903,7 +2992,7 @@ def q_multimodal_pipeline(spark, sf):
     from jobscrawler_spark.schemas import IMAGES
 
     images = spark.createDataFrame(gen_images(96), IMAGES)
-    img = extract_image_features(images).select(
+    img = lambda: extract_image_features(images).select(
         F.lit("image").alias("kind"),
         F.col("image_id").alias("media_id"),
         F.lit(0).alias("idx"),
@@ -2924,7 +3013,7 @@ def q_multimodal_pipeline(spark, sf):
     videos = spark.createDataFrame(
         gen_videos(12), "video_id string, bytes binary, fmt string"
     )
-    vid = sample_video_frames(videos, every_n=5).select(
+    vid = lambda: sample_video_frames(videos, every_n=5).select(
         F.lit("video_frame").alias("kind"),
         F.col("video_id").alias("media_id"),
         F.col("frame_no").alias("idx"),
@@ -2937,7 +3026,7 @@ def q_multimodal_pipeline(spark, sf):
     audio = spark.createDataFrame(
         gen_audio(48), "audio_id string, bytes binary, fmt string"
     )
-    aud = extract_audio_features(audio).select(
+    aud = lambda: extract_audio_features(audio).select(
         F.lit("audio").alias("kind"),
         F.col("audio_id").alias("media_id"),
         F.lit(0).alias("idx"),
@@ -2955,7 +3044,7 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
-    dup = scene_dup_stats(
+    dup = lambda: scene_dup_stats(
         spark.createDataFrame(
             gen_scene_videos(12, shared_scene=True),
             "video_id string, bytes binary, fmt string",
@@ -2973,7 +3062,7 @@ def q_multimodal_pipeline(spark, sf):
     scenes = spark.createDataFrame(
         gen_scene_videos(10), "video_id string, bytes binary, fmt string"
     )
-    sc = detect_scene_cuts(scenes).select(
+    sc = lambda: detect_scene_cuts(scenes).select(
         F.lit("scene_cut").alias("kind"),
         F.col("video_id").alias("media_id"),
         F.col("frame_no").alias("idx"),
@@ -2998,7 +3087,7 @@ def q_multimodal_pipeline(spark, sf):
     wm_images = spark.createDataFrame(
         gen_wm_images(48), "image_id string, bytes binary, w int, h int, fmt string"
     )
-    wm = detect_watermarks(wm_images).select(
+    wm = lambda: detect_watermarks(wm_images).select(
         F.lit("watermark").alias("kind"),
         F.col("image_id").alias("media_id"),
         F.col("key_id").alias("idx"),
@@ -3024,7 +3113,7 @@ def q_multimodal_pipeline(spark, sf):
     vad = spark.createDataFrame(
         gen_vad_audio(12), "audio_id string, bytes binary, fmt string"
     )
-    seg = segment_audio(vad).select(
+    seg = lambda: segment_audio(vad).select(
         F.lit("audio_seg").alias("kind"),
         F.col("audio_id").alias("media_id"),
         F.col("frame_no").alias("idx"),
@@ -3042,14 +3131,11 @@ def q_multimodal_pipeline(spark, sf):
             )
         ).alias("fingerprint"),
     )
-    out = (
-        img.unionByName(vid)
-        .unionByName(aud)
-        .unionByName(sc)
-        .unionByName(dup)
-        .unionByName(wm)
-        .unionByName(seg)
-    )
+    # seven independent Arrow decode branches — materialized from a
+    # driver thread pool (guide §2.6; _overlap) so the gate's wall is the
+    # slowest branch, not the sum of seven
+    parts = _overlap(img, vid, aud, sc, dup, wm, seg)
+    out = functools.reduce(DataFrame.unionByName, parts)
     return spark.createDataFrame(out.collect(), out.schema)
 
 
@@ -3179,13 +3265,6 @@ def q_dedup_paragraphs(spark, sf):
             ),
         ).alias("text"),
     )
-    para = D.paragraph_dup_stats(withboiler).select(
-        F.lit("para").alias("kind"),
-        "doc_id",
-        F.col("n_paras").alias("n_units"),
-        F.col("n_shared_paras").alias("n_shared"),
-        F.col("shared_para_frac").alias("shared_frac"),
-    )
     shifted = d.filter(F.col("doc_id") < 150).select(
         "doc_id",
         F.concat(
@@ -3197,12 +3276,23 @@ def q_dedup_paragraphs(spark, sf):
             ).otherwise(F.lit(" organic tail")),
         ).alias("text"),
     )
-    cdc = D.cdc_dup_stats(shifted).select(
-        F.lit("cdc").alias("kind"),
-        "doc_id",
-        F.col("n_chunks").alias("n_units"),
-        F.col("n_shared_chunks").alias("n_shared"),
-        F.col("shared_chunk_frac").alias("shared_frac"),
+    # the two kinds are independent — the CDC per-char chain overlaps the
+    # paragraph chain (guide §2.6; _overlap)
+    para, cdc = _overlap(
+        lambda: D.paragraph_dup_stats(withboiler).select(
+            F.lit("para").alias("kind"),
+            "doc_id",
+            F.col("n_paras").alias("n_units"),
+            F.col("n_shared_paras").alias("n_shared"),
+            F.col("shared_para_frac").alias("shared_frac"),
+        ),
+        lambda: D.cdc_dup_stats(shifted).select(
+            F.lit("cdc").alias("kind"),
+            "doc_id",
+            F.col("n_chunks").alias("n_units"),
+            F.col("n_shared_chunks").alias("n_shared"),
+            F.col("shared_chunk_frac").alias("shared_frac"),
+        ),
     )
     return para.unionByName(cdc)
 

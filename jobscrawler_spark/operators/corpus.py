@@ -44,6 +44,12 @@ HEX_SPAN = 16**8  # md5 8-hex-digit prefix space
 
 def _gram_hashes(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram md5) — distinct word n-grams per document."""
+    from .util import fan_out
+
+    # guide §2.5 input skew: spread the gram md5 compute when the scan
+    # arrives narrower than the session parallelism (measured 3.3s ->
+    # 0.8s on the sf0.1 corpus explode, r7); no-op at 100 TB
+    docs = fan_out(docs)
     toks = tokens_col(F.col(text_col))
     cnt = F.size(toks)
     idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
@@ -555,6 +561,12 @@ def cdc_chunks(
     array expressions, ZERO shuffles; the downstream dedup is one
     uniform md5 groupBy.
     """
+    from .util import fan_out
+
+    # guide §2.5 input skew: the per-char polynomial hash is the heaviest
+    # map-side expression in the repo — spread it when the scan arrives
+    # narrower than the session parallelism (no-op at 100 TB)
+    docs = fan_out(docs)
     powers = [pow(base, j, mod) for j in range(window)]
     n = F.length(F.col(text_col))
     codes = F.transform(
@@ -664,6 +676,9 @@ def tfidf_keywords(
 
     Reference analogue: none (the reference stores raw text,
     src/crawler.py:172-244); north-rule training-data extension."""
+    # no fan_out here: the token explode carries no per-row hashing heavy
+    # enough to pay for the repartition (measured 1.8s plain vs 2.2s
+    # fanned at sf0.1)
     toks = docs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -800,6 +815,16 @@ def dsir_scores(
     conditional aggregation over a single gram pass (count(*) for raw,
     sum(flag) for target), halving the count-side work with identical
     counts."""
+
+    from .util import fan_out
+
+    # guide §2.5 input skew: both the bucket-count aggregation and the
+    # map-side scoring pass hash every uni+bigram of every doc — spread
+    # the compute when the scan arrives narrower than the session
+    # parallelism (no-op at 100 TB)
+    docs = fan_out(docs)
+    if target is not None:
+        target = fan_out(target)
 
     def _bucket_counts(df: DataFrame) -> dict[int, int]:
         return {

@@ -76,6 +76,9 @@ def paragraph_dup_stats(
     on the same key (co-partitioned by the groupBy), one groupBy doc_id.
     No quadratic pair enumeration anywhere.
     """
+    # no fan_out here: one md5 per PARAGRAPH is light enough that the
+    # repartition costs more than the spread buys (measured 0.53s plain
+    # vs 1.65s fanned at sf0.1 — unlike the per-gram/per-char operators)
     paras = docs.select(
         F.col(id_col),
         F.explode(
@@ -148,6 +151,13 @@ def cdc_dup_stats(
 
 def shingles_df(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word k-grams per doc."""
+    from .util import fan_out
+
+    # guide §2.5 input skew: a single-row-group parquet scan is one task;
+    # without this every shingle md5 of the corpus runs single-threaded
+    # (measured 16.4s -> 2.5s on the sf0.1 minhash signatures, r7). No-op
+    # when the scan is already at least cores-wide (the 100 TB case).
+    docs = fan_out(docs)
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     # complete k-grams only (docs with fewer than k tokens yield none)
