@@ -2631,36 +2631,40 @@ def q_image_phash_neardup(spark, sf):
     )
     # the four kinds are independent subtrees — materialize them from a
     # driver thread pool (guide §2.6; _overlap) so the gate's wall is the
-    # slowest kind, not the sum of all four.
+    # slowest kind, not the sum of all four; the whole gate is a
+    # CONSTANT-SIZE planted fixture (never grows with sf), so shuffle
+    # partitions drop to fixture scale for the duration (_small_shuffle,
+    # the crawl_recrawl idiom) and every kind is materialized inside.
     # 'lookup' (r6): query-side serving probe — the 1-bit variants query
     # the BASE images' persisted bands (similarity.phash_lookup, broadcast
     # probe, no store re-band); banded == exact all-pairs at hamming<=7 by
     # pigeonhole, which is precisely what the oracle re-states
-    batch, incr, look, ver = _overlap(
-        lambda: phash_near_dup_pairs(imgs).select(
-            F.lit("batch").alias("kind"), "id_a", "id_b", "hamming", *nosad
-        ),
-        lambda: incremental_phash_pairs(new_b, old_b).select(
-            F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming", *nosad
-        ),
-        lambda: phash_lookup(
-            imgs.filter(F.col("image_id").endswith("~v")), old_b
-        ).select(
-            F.lit("lookup").alias("kind"),
-            F.col("query_id").alias("id_a"),
-            F.col("image_id").alias("id_b"),
-            "hamming",
-            *nosad,
-        ),
-        lambda: verify_near_dup_pairs(phash_near_dup_pairs(vf), vf).select(
-            F.lit("verified").alias("kind"),
-            "id_a",
-            "id_b",
-            "hamming",
-            "sad",
-            "verified",
-        ),
-    )
+    with _small_shuffle(spark):
+        batch, incr, look, ver = _overlap(
+            lambda: phash_near_dup_pairs(imgs).select(
+                F.lit("batch").alias("kind"), "id_a", "id_b", "hamming", *nosad
+            ),
+            lambda: incremental_phash_pairs(new_b, old_b).select(
+                F.lit("incremental").alias("kind"), "id_a", "id_b", "hamming", *nosad
+            ),
+            lambda: phash_lookup(
+                imgs.filter(F.col("image_id").endswith("~v")), old_b
+            ).select(
+                F.lit("lookup").alias("kind"),
+                F.col("query_id").alias("id_a"),
+                F.col("image_id").alias("id_b"),
+                "hamming",
+                *nosad,
+            ),
+            lambda: verify_near_dup_pairs(phash_near_dup_pairs(vf), vf).select(
+                F.lit("verified").alias("kind"),
+                "id_a",
+                "id_b",
+                "hamming",
+                "sad",
+                "verified",
+            ),
+        )
     return batch.unionByName(incr).unionByName(look).unionByName(ver)
 
 
@@ -2697,11 +2701,18 @@ def q_image_dedup_clusters(spark, sf):
     )
 
     imgs = _phash_fixture_df(spark)
-    out = crossmodal_dup_clusters(imgs)
-    res = imgs.select(
-        "image_id", F.expr("phash & 1023").cast("int").alias("__res")
-    )
-    return preferred_survivor(out.join(res, "image_id"), "__res").drop("__res")
+    # constant-size planted fixture: fixture-scale shuffle partitions for
+    # the duration + materialize inside (the _small_shuffle idiom)
+    with _small_shuffle(spark):
+        out = crossmodal_dup_clusters(imgs)
+        res = imgs.select(
+            "image_id", F.expr("phash & 1023").cast("int").alias("__res")
+        )
+        return _overlap(
+            lambda: preferred_survivor(out.join(res, "image_id"), "__res").drop(
+                "__res"
+            )
+        )[0]
 
 
 def q_decontaminate_ngram(spark, sf):
@@ -3133,10 +3144,13 @@ def q_multimodal_pipeline(spark, sf):
     )
     # seven independent Arrow decode branches — materialized from a
     # driver thread pool (guide §2.6; _overlap) so the gate's wall is the
-    # slowest branch, not the sum of seven
-    parts = _overlap(img, vid, aud, sc, dup, wm, seg)
-    out = functools.reduce(DataFrame.unionByName, parts)
-    return spark.createDataFrame(out.collect(), out.schema)
+    # slowest branch, not the sum of seven; all inputs are constant-size
+    # generated fixtures, so shuffle partitions drop to fixture scale for
+    # the duration (_small_shuffle idiom)
+    with _small_shuffle(spark):
+        parts = _overlap(img, vid, aud, sc, dup, wm, seg)
+        out = functools.reduce(DataFrame.unionByName, parts)
+        return spark.createDataFrame(out.collect(), out.schema)
 
 
 SPAN_BOILERPLATE = (
