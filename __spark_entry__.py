@@ -2319,42 +2319,48 @@ def q_dedup_minhash_lsh(spark, sf):
     # the oracle re-states it as the one-shot (old, new) band pairs
     # carrying their verified jacc (query id as doc_a).
     # The four kinds are independent subtrees — materialized concurrently
-    # (guide §2.6; _overlap), wall = slowest kind instead of the sum.
-    batch, incr, look, ver = _overlap(
-        lambda: pairs.select(
-            F.lit("batch").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
-        ),
-        lambda: D.incremental_minhash_pairs(new_bands, old_bands).select(
-            F.lit("incremental").alias("kind"),
-            "doc_a",
-            "doc_b",
-            neg1.alias("jacc_e6"),
-        ),
-        lambda: D.minhash_lookup(
-            d.filter(F.col("doc_id") >= 100), old_bands, verify_with=d
-        ).select(
-            F.lit("lookup").alias("kind"),
-            F.col("query_id").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            "jacc_e6",
-        ),
-        lambda: D.verify_candidate_pairs(
-            d, pairs.unionByName(probes).distinct()
-        ).select(
-            F.when(F.col("jacc_e6") >= 500000, F.lit("verified"))
-            .otherwise(F.lit("rejected"))
-            .alias("kind"),
-            "doc_a",
-            "doc_b",
-            "jacc_e6",
-        ),
-    )
+    # (guide §2.6; _overlap), wall = slowest kind instead of the sum; the
+    # doc_id < 150 filter bounds the input at ANY sf, so shuffle
+    # partitions drop to fixture scale for the duration (_small_shuffle)
+    with _small_shuffle(spark):
+        batch, incr, look, ver = _overlap(
+            lambda: pairs.select(
+                F.lit("batch").alias("kind"), "doc_a", "doc_b", neg1.alias("jacc_e6")
+            ),
+            lambda: D.incremental_minhash_pairs(new_bands, old_bands).select(
+                F.lit("incremental").alias("kind"),
+                "doc_a",
+                "doc_b",
+                neg1.alias("jacc_e6"),
+            ),
+            lambda: D.minhash_lookup(
+                d.filter(F.col("doc_id") >= 100), old_bands, verify_with=d
+            ).select(
+                F.lit("lookup").alias("kind"),
+                F.col("query_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                "jacc_e6",
+            ),
+            lambda: D.verify_candidate_pairs(
+                d, pairs.unionByName(probes).distinct()
+            ).select(
+                F.when(F.col("jacc_e6") >= 500000, F.lit("verified"))
+                .otherwise(F.lit("rejected"))
+                .alias("kind"),
+                "doc_a",
+                "doc_b",
+                "jacc_e6",
+            ),
+        )
     return batch.unionByName(incr).unionByName(look).unionByName(ver)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
-    return D.ngram_jaccard_pairs(d, n=2, threshold=0.4)
+    # doc_id < 120 bounds the input at ANY sf: fixture-scale shuffle
+    # width + materialize inside (the _small_shuffle idiom)
+    with _small_shuffle(spark):
+        return _overlap(lambda: D.ngram_jaccard_pairs(d, n=2, threshold=0.4))[0]
 
 
 def _queries_df(spark, sf):
@@ -2918,7 +2924,13 @@ def q_corpus_mix(spark, sf):
             F.lit("temperature").alias("kind"), "doc_id", "source", "lang"
         ),
         lambda: dsir_select(
-            d, None, keep_frac=0.4, target_filter=F.col("lang") == "en"
+            d,
+            None,
+            keep_frac=0.4,
+            target_filter=F.col("lang") == "en",
+            # the per-source counts aggregate above already holds the
+            # corpus size — no extra count() pass (r7)
+            n=sum(counts.values()),
         ).select(F.lit("dsir").alias("kind"), "doc_id", "source", "lang"),
     )
     return fixed.unionByName(temp).unionByName(dsir)

@@ -932,6 +932,7 @@ def dsir_select(
     scale: int = DSIR_SCALE,
     bin_width: int = DSIR_BIN,
     target_filter: Column | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023) in its deterministic top-k
     form: keep the ``int(round(keep_frac * n))`` documents whose hashed
@@ -943,8 +944,13 @@ def dsir_select(
     and partitionings agree exactly.
 
     Reference analogue: none (the reference crawls configured job boards,
-    src/crawler.py:172-244); north-rule training-data extension."""
-    n = docs.count()
+    src/crawler.py:172-244); north-rule training-data extension.
+
+    ``n`` (r7): callers that already hold the corpus row count (e.g. from
+    a per-source counts aggregate) pass it in, saving the one full pass
+    a bare count() costs at scale."""
+    if n is None:
+        n = docs.count()
     target_n = int(round(keep_frac * n))
     scored = dsir_scores(
         docs, target, text_col, id_col, n_buckets, scale,
