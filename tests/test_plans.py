@@ -237,12 +237,23 @@ def test_corpus_ops_plans(spark):
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning(" not in p, p
 
-    # the full gate adds the r6 DSIR kind, whose scoring/selection is
-    # ALLOWED to shuffle — but only on uniform doc_id keys (the score
-    # groupBy and the join back); the lr table joins broadcast
-    p = _plan(E.q_corpus_mix(spark, SF))
-    assert "BroadcastHashJoin" in p
+    # the r6 DSIR kind (r7 form): scoring is MAP-SIDE — the lr table
+    # rides the plan as one array literal, so there is NO join at all in
+    # the scoring pass; the only allowed exchanges are the fan_out
+    # round-robin spread (guide §2.5, no-op at scale) and uniform
+    # doc_id-keyed shuffles. The gate itself now returns kinds
+    # materialized via _overlap (checkpoint scans), so the pin targets
+    # the DSIR builder's own plan pre-materialization.
+    from jobscrawler_spark.operators.corpus import dsir_select
+
+    p = _plan(
+        dsir_select(
+            d, None, keep_frac=0.4,
+            target_filter=F.col("lang") == "en", n=d.count(),
+        )
+    )
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     for line in p.splitlines():
         if "hashpartitioning(" in line:
             assert "doc_id" in line, line
